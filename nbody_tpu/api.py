@@ -1,0 +1,224 @@
+"""User-facing ``Simulation`` — the analog of the reference ``Simulation``
+trait (src/shared.rs:80-97) over the functional core.
+
+Method parity map (reference -> here):
+    new(points, integrator, bounds)   -> Simulation(pos, vel, mass, ...)
+    init()                            -> init()
+    step()                            -> step()
+    step_by(dt)                       -> step_by(dt)         (negative dt = rewind,
+                                                              reference src/vis.rs:236-252)
+    update_forces()                   -> update_forces()
+    add_point(p) / remove_point(i)    -> add_point / remove_point
+    get_points()                      -> get_points()
+    elapsed()                         -> .elapsed
+    settings()/settings_mut()         -> .settings / set_settings(**kw)
+
+Extras the reference keeps ad hoc in the vis layer (SURVEY.md §5):
+    reset()            — restore the pristine initial state (the reference
+                         clones ``simulation_base``, src/vis.rs:42-44,304-320)
+    run(n)             — n fused steps under one lax.scan (fast benchmark path)
+    save()/load()      — real checkpointing (absent in the reference)
+    energy()           — total energy diagnostic (absent in the reference)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.core.state import Bounds, ParticleState, SimParams
+from nbody_tpu.core.stepper import make_step, make_run
+from nbody_tpu.core.energy import total_energy
+from nbody_tpu.engines import Engine, get_engine
+
+
+class Simulation:
+    def __init__(
+        self,
+        pos,
+        vel,
+        mass,
+        *,
+        engine: str | Engine = "brute",
+        integrator: str = "leapfrog",
+        bounds_center=(0.0, 0.0, 0.0),
+        bounds_width: float = 10.0,
+        dtype=jnp.float32,
+        capacity: Optional[int] = None,
+        engine_options: Optional[dict] = None,
+        **settings,
+    ):
+        self.engine = get_engine(engine, **(engine_options or {}))
+        self._state = ParticleState.create(
+            pos, vel, mass, capacity=capacity, dtype=dtype
+        )
+        self._params = SimParams.create(
+            bounds_center=bounds_center,
+            bounds_width=bounds_width,
+            dtype=dtype,
+            **settings,
+        )
+        self._step = jax.jit(make_step(self.engine.force, integrator))
+        self._run = make_run(self.engine.force, integrator)
+        self._initial: Optional[ParticleState] = None
+        self.init()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init(self):
+        """Zero the clock and snapshot the pristine state for ``reset``
+        (reference init: src/manual/brute_force.rs:47-50 + the vis layer's
+        ``simulation_base`` clone, src/vis.rs:42-44)."""
+        self._state = dataclasses.replace(
+            self._state, time=jnp.zeros_like(self._state.time)
+        )
+        self._initial = self._state
+
+    def reset(self):
+        """Restore initial particles, keep current settings (reference 'Reset'
+        button semantics, src/vis.rs:216-221)."""
+        if self._initial is None:
+            raise RuntimeError("init() was never called")
+        self._state = self._initial
+
+    # -- stepping ----------------------------------------------------------
+
+    def step(self):
+        self._state = self._step(self._state, self._params)
+
+    def step_by(self, dt: float):
+        self._state = self._step(self._state, self._params, jnp.asarray(dt))
+
+    def run(self, n_steps: int, dt: Optional[float] = None):
+        """n fused steps in one XLA program."""
+        self._state = self._run(
+            self._state,
+            self._params,
+            n_steps,
+            None if dt is None else jnp.asarray(dt),
+        )
+        return self._state
+
+    def compile(self, n_steps: int, dt=None):
+        """Ahead-of-time compile the fused ``run`` for a given step count so
+        benchmark timing windows exclude compilation."""
+        self._run.lower(
+            self._state, self._params, n_steps,
+            None if dt is None else jnp.asarray(dt),
+        ).compile()
+        return self
+
+    def update_forces(self):
+        """Recompute accelerations in place without integrating (reference
+        ``update_forces``, src/shared.rs:90)."""
+        st = self._state
+        acc = self.engine.force(st.pos, st.effective_mass(), self._params)
+        acc = jnp.where(st.alive[:, None], acc, jnp.zeros_like(acc))
+        self._state = dataclasses.replace(st, acc=acc)
+
+    def block_until_ready(self):
+        jax.block_until_ready(self._state)
+        return self
+
+    # -- particles ---------------------------------------------------------
+
+    def add_point(self, pos, vel, mass):
+        self._state = self._state.add_point(pos, vel, mass)
+        return self
+
+    def remove_point(self, index: int):
+        self._state = self._state.remove_point(index)
+        return self
+
+    def get_points(self):
+        return self._state.get_points()
+
+    @property
+    def n_alive(self) -> int:
+        return int(self._state.n_alive())
+
+    @property
+    def state(self) -> ParticleState:
+        return self._state
+
+    @state.setter
+    def state(self, s: ParticleState):
+        self._state = s
+
+    # -- settings ----------------------------------------------------------
+
+    @property
+    def settings(self) -> SimParams:
+        return self._params
+
+    def set_settings(self, **kw):
+        """Mutate physics settings live; traced scalars mean no recompilation
+        (reference settings_mut + egui sliders, src/vis.rs:130-199)."""
+        self._params = self._params.replace(**kw)
+        return self
+
+    @property
+    def elapsed(self) -> float:
+        return float(self._state.time)
+
+    # -- diagnostics -------------------------------------------------------
+
+    def energy(self) -> float:
+        return float(total_energy(self._state, self._params))
+
+    def aux(self) -> dict:
+        """Engine-specific inspection data (octree node boxes etc.)."""
+        if self.engine.aux is None:
+            return {}
+        st = self._state
+        return self.engine.aux(st.pos, st.effective_mass(), self._params)
+
+    # -- checkpointing (new capability; reference has none, SURVEY.md §5) --
+
+    def save(self, path: str):
+        st = jax.device_get(self._state)
+        pr = jax.device_get(self._params)
+        payload = {
+            "state": {f.name: getattr(st, f.name) for f in dataclasses.fields(st)},
+            "params": {
+                "g": pr.g,
+                "g_soft": pr.g_soft,
+                "dt": pr.dt,
+                "theta2": pr.theta2,
+                "bounds_center": pr.bounds.center,
+                "bounds_half_width": pr.bounds.half_width,
+            },
+            "engine": self.engine.name,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        s = payload["state"]
+        self._state = ParticleState(
+            pos=jnp.asarray(s["pos"]),
+            vel=jnp.asarray(s["vel"]),
+            acc=jnp.asarray(s["acc"]),
+            mass=jnp.asarray(s["mass"]),
+            alive=jnp.asarray(s["alive"]),
+            time=jnp.asarray(s["time"]),
+        )
+        p = payload["params"]
+        self._params = SimParams(
+            g=jnp.asarray(p["g"]),
+            g_soft=jnp.asarray(p["g_soft"]),
+            dt=jnp.asarray(p["dt"]),
+            theta2=jnp.asarray(p["theta2"]),
+            bounds=Bounds(
+                center=jnp.asarray(p["bounds_center"]),
+                half_width=jnp.asarray(p["bounds_half_width"]),
+            ),
+        )
+        return self

@@ -1,0 +1,132 @@
+"""Headless CLI — the analog of the reference benchmark binary
+(``cargo run --no-default-features -- -t T -n N``, src/main.rs:41-129), with
+the engine/scene/settings promoted from compile-time code edits
+(src/main.rs:91-105) to real flags.
+
+Example:
+    python -m nbody_tpu -n 10000 --engine brute --steps 1000
+prints elapsed time and steps/second exactly like src/main.rs:124-128.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.api import Simulation
+from nbody_tpu.engines import ENGINES
+from nbody_tpu.scenes import SCENES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody_tpu", description="TPU-native N-body benchmark runner"
+    )
+    p.add_argument("-n", "--num-points", type=int, default=10000,
+                   help="disc particle count (reference -n, src/main.rs:37-38)")
+    p.add_argument("--steps", type=int, default=1000,
+                   help="number of steps (reference hardcodes 1000, src/main.rs:117)")
+    p.add_argument("--engine", default="brute", choices=sorted(ENGINES),
+                   help="force engine (reference picks by editing src/main.rs:91-101)")
+    p.add_argument("--scene", default="disc", choices=sorted(SCENES))
+    p.add_argument("--integrator", default="leapfrog")
+    p.add_argument("--dt", type=float, default=3e-2,
+                   help="timestep (reference override src/main.rs:103)")
+    p.add_argument("--g", type=float, default=1.0)
+    p.add_argument("--g-soft", type=float, default=0.02,
+                   help="softening (reference override src/main.rs:104)")
+    p.add_argument("--theta2", type=float, default=1.0,
+                   help="BH opening angle^2 (reference override src/main.rs:105)")
+    p.add_argument("--box-width", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--f64", action="store_true", help="run in float64")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard particles over this many devices (0 = single)")
+    p.add_argument("--energy", action="store_true",
+                   help="report initial/final total energy and drift")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="steps per fused scan chunk (0 = all in one scan)")
+    p.add_argument("--json", action="store_true", help="emit one JSON line")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    pos, vel, mass = SCENES[args.scene](args.num_points, seed=args.seed)
+
+    if args.devices and args.devices > 1:
+        from nbody_tpu.parallel.sharded import ShardedSimulation
+
+        sim = ShardedSimulation(
+            pos, vel, mass,
+            engine=args.engine,
+            integrator=args.integrator,
+            n_devices=args.devices,
+            bounds_width=args.box_width,
+            dtype=dtype,
+            dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
+        )
+    else:
+        sim = Simulation(
+            pos, vel, mass,
+            engine=args.engine,
+            integrator=args.integrator,
+            bounds_width=args.box_width,
+            dtype=dtype,
+            dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
+        )
+
+    e0 = sim.energy() if args.energy else None
+
+    # compile outside the timing window (the reference's timing window also
+    # excludes setup, src/main.rs:113)
+    chunk = args.chunk or args.steps
+    sim.compile(chunk)
+    if args.steps % chunk:
+        sim.compile(args.steps % chunk)
+
+    if not args.json:
+        print("Running simulation without rendering...")
+    start = time.perf_counter()
+    remaining = args.steps
+    while remaining > 0:
+        k = min(chunk, remaining)
+        sim.run(k)
+        remaining -= k
+    sim.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    steps_per_second = args.steps / elapsed
+    result = {
+        "engine": args.engine,
+        "n": args.num_points,
+        "steps": args.steps,
+        "elapsed_s": elapsed,
+        "steps_per_second": steps_per_second,
+        "n_alive": sim.n_alive,
+    }
+    if args.energy:
+        e1 = sim.energy()
+        result.update(energy_initial=e0, energy_final=e1,
+                      energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"))
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(f"Elapsed: {elapsed:.3f}s")
+        print(f"Performance: {steps_per_second:.2f} steps/second")
+        if args.energy:
+            print(f"Energy: {e0:.9e} -> {result['energy_final']:.9e} "
+                  f"(|drift| {result['energy_drift']:.3e})")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,312 @@
+"""Vectorized Barnes-Hut traversal: group-based breadth-first theta-walk over
+the dense level pyramid, with masked gathers instead of pointer chasing.
+
+Replaces the reference's per-particle recursive walk
+(src/manual/barnes_hut.rs:185-203) and the LLM engines' per-particle explicit
+stack walks (src/llm/barnes_hut.rs:774-877, fixed [usize;64] stack).
+
+Design (the group-traversal shape of GPU treecodes, cf. PAPERS.md "tree method
+with SIMD" / Bonsai, re-cast for the TPU's dense-tile execution model):
+
+  * Particles are Morton-sorted (ops/tree.py), so consecutive blocks of
+    ``group_size`` particles are spatially compact.  A whole *group* shares
+    one traversal, turning divergent pointer chasing into dense regular
+    [group, slots] arithmetic.
+  * Acceptance is the reference criterion ``width^2 < theta2 * r^2``
+    (src/manual/barnes_hut.rs:192) made *conservative for the group*: r is
+    the exact distance from the node's center of mass to the group's
+    bounding box.  Every accepted node is acceptable for every member;
+    opened nodes only add accuracy.
+  * **Morton-window near field**: each group directly sums a contiguous
+    window of sorted neighbors (a static-size ``lax.dynamic_slice`` — dense
+    VPU work, zero gathers).  During the walk, any cell whose particle range
+    lies wholly inside the window is *removed* (it is summed exactly by the
+    window pass); coverage is tracked with a scatter-add diff array so the
+    window pass counts exactly the removed cells' particles.  This keeps
+    the expensive gather path for the rare boundary cells only and is exact
+    (direct sum) where Barnes-Hut would have been approximate.
+  * Per level: gather frontier cell stats -> window-covered / accepted /
+    expanded.  Accepted cells are compacted to a small slab and contribute
+    monopole forces (dense [B, A] eval + MXU contraction); expanded cells'
+    8 children become the next frontier (O(F) cumsum+scatter compaction).
+  * At the finest level, unexpandable non-window cells form the residual
+    near field: their ranges are gathered into a padded particle list and
+    summed pairwise.
+
+All caps are static; overflow is counted and reported per category (the
+analog of the reference's stack-overflow warn-and-continue fallback,
+src/llm/barnes_hut.rs:859-869).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops.tree import LinearOctree, build_octree
+
+
+@dataclass(frozen=True)
+class BHConfig:
+    """Static traversal configuration (hashable; part of the jit key)."""
+
+    max_level: int = 7  # leaf grid is 2^max_level per axis
+    group_size: int = 256  # particles sharing one traversal
+    window_pad: int = 512  # sorted-neighbor window extends this far each way
+    frontier_cap: int = 8192  # frontier slots per level (children included)
+    accept_cap: int = 1024  # accepted-node slots evaluated per level
+    near_cell_cap: int = 512  # residual near-field cells per group
+    near_particle_cap: int = 2048  # residual near-field particles per group
+    # NOTE on sizing: scenes that straddle an octant plane (the benchmark
+    # disc sits exactly on z=0) put half of each group's spatial neighbors
+    # at Morton-far indices, so the residual gather path stays material even
+    # with a wide window.  Overflow is reported in stats — treat nonzero
+    # drops as a mis-sized config.
+    start_level: int = 2  # dense start: all 8^start_level cells
+    chunk_groups: int = 16  # groups processed per lax.map iteration
+
+    @property
+    def window(self) -> int:
+        return self.group_size + 2 * self.window_pad
+
+
+def _monopole(gpos, com, m, use, g, g_soft):
+    """Masked monopole acceleration: gpos [B,3] targets, com/m/use [A] nodes.
+    Same softened law as the node force in the reference
+    (src/manual/barnes_hut.rs:193-195)."""
+    d = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]
+    r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft  # [B, A]
+    ok = use[None, :] & (r2 > 0.0)
+    inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+    s = jnp.where(ok, inv_r * inv_r * inv_r * m[None, :], 0.0)
+    # HIGHEST: true-f32 contraction (TPU matmuls default to lossy bf16)
+    return g * jnp.einsum(
+        "ba,bad->bd", s, d, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft):
+    """Direct pairwise acceleration of group targets vs a particle slab.
+    Self-pairs masked by global sorted index; coincident pairs skipped
+    (the reference LLM engine's r^2 guard, src/llm/barnes_hut.rs:819)."""
+    dd = ppos[None, :, :] - gpos[:, None, :]  # [B, P, 3]
+    r2 = jnp.sum(dd * dd, axis=-1) + g_soft * g_soft
+    skip = (pidx[None, :] == gidx[:, None]) | (r2 <= 0.0) | ~pvalid[None, :]
+    inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+    s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * pm[None, :])
+    return g * jnp.einsum(
+        "bp,bpd->bd", s, dd, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _compact(ids, keep, out_slots):
+    """Order-preserving compaction of ``ids[keep]`` into ``out_slots`` slots
+    via cumsum + scatter (O(F), no sort).
+    Returns (ids [out_slots], valid [out_slots], n_dropped)."""
+    slot = jnp.cumsum(keep) - 1
+    # kept entries beyond the cap, and all non-kept entries, write to the
+    # trash slot at index out_slots
+    slot = jnp.where(keep & (slot < out_slots), slot, out_slots)
+    out = jnp.zeros((out_slots + 1,), ids.dtype).at[slot].set(ids)[:out_slots]
+    n_keep = jnp.sum(keep)
+    valid = jnp.arange(out_slots) < jnp.minimum(n_keep, out_slots)
+    dropped = jnp.maximum(n_keep - out_slots, 0)
+    return out, valid, dropped
+
+
+def _group_accel(
+    tree: LinearOctree,
+    pos_sp,  # [Ntot, 3] sorted+padded positions
+    mass_sp,  # [Ntot] sorted+padded masses
+    n_total: int,
+    cell_w2: tuple,
+    theta2,
+    g,
+    g_soft,
+    cfg: BHConfig,
+    window: int,
+    gpos,
+    gmass,
+    gidx,
+):
+    """Traversal + force for ONE group (vmapped over groups).
+
+    gpos [B,3], gmass [B], gidx [B] (global sorted indices).
+    Returns (acc [B,3], stats...)."""
+    B = cfg.group_size
+    F = cfg.frontier_cap
+    L = cfg.max_level
+    W = window
+    n_leaf = 1 << (3 * L)
+
+    # group bounding box over alive members
+    has = gmass > 0
+    big = jnp.asarray(jnp.finfo(gpos.dtype).max, gpos.dtype)
+    lo = jnp.min(jnp.where(has[:, None], gpos, big), axis=0)
+    hi = jnp.max(jnp.where(has[:, None], gpos, -big), axis=0)
+    any_alive = jnp.any(has)
+    lo = jnp.where(any_alive, lo, 0.0)
+    hi = jnp.where(any_alive, hi, 0.0)
+    gc = 0.5 * (lo + hi)
+    gh = 0.5 * (hi - lo)  # per-axis half extents (box metric, not sphere)
+
+    # sorted-index window around the group
+    wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
+    wend = wstart + W
+
+    # initial frontier: all cells of the start level
+    n0 = 1 << (3 * cfg.start_level)
+    ids = jnp.concatenate(
+        [jnp.arange(n0, dtype=jnp.int32), jnp.zeros(F - n0, jnp.int32)]
+    )
+    valid = jnp.concatenate([jnp.ones(n0, bool), jnp.zeros(F - n0, bool)])
+
+    acc = jnp.zeros_like(gpos)
+    a_dropped = jnp.int32(0)
+    f_dropped = jnp.int32(0)
+    n_dropped = jnp.int32(0)
+    near_ids = jnp.zeros((cfg.near_cell_cap,), jnp.int32)
+    near_valid = jnp.zeros((cfg.near_cell_cap,), bool)
+    # window-coverage diff array (+1 at covered range start, -1 past its end)
+    delta = jnp.zeros((W + 1,), jnp.int32)
+
+    for l in range(cfg.start_level, L + 1):
+        m = jnp.where(valid, tree.level_mass[l][ids], 0.0)
+        occupied = m > 0
+        mp = tree.level_mpos[l][ids]
+        com = mp / jnp.where(occupied, m, 1.0)[:, None]
+
+        # particle range of each frontier cell (O(1) from cumulative counts)
+        shift = 3 * (L - l)
+        cs = tree.leaf_starts[ids << shift]
+        ce = tree.leaf_starts[(ids + 1) << shift]
+
+        # cells wholly inside the window: handled exactly by the window pass
+        covered = occupied & (cs >= wstart) & (ce <= wend)
+        inc = covered.astype(jnp.int32)
+        delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
+        delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
+
+        # exact distance from node COM to the group's bounding box
+        d = jnp.maximum(jnp.abs(com - gc[None, :]) - gh[None, :], 0.0)
+        rmin2 = jnp.sum(d * d, axis=-1)
+        accept = occupied & ~covered & (cell_w2[l] < theta2 * rmin2)
+
+        # compact accepted nodes to a small dense slab before evaluation
+        slots = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        asel, avalid, adrop = _compact(slots, accept, cfg.accept_cap)
+        a_dropped = a_dropped + adrop.astype(jnp.int32)
+        acc = acc + _monopole(
+            gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g, g_soft
+        )
+
+        expand = occupied & ~covered & ~accept
+        if l < L:
+            parents, pvalid, dropped = _compact(ids, expand, F // 8)
+            f_dropped = f_dropped + dropped.astype(jnp.int32)
+            ids = (parents[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(F)
+            valid = jnp.repeat(pvalid, 8)
+        else:
+            near_ids, near_valid, dropped = _compact(
+                ids, expand, cfg.near_cell_cap
+            )
+            n_dropped = dropped.astype(jnp.int32)
+
+    # ---- window pass: contiguous sorted neighbors, dense direct sum ----
+    wmask = jnp.cumsum(delta)[:W] > 0
+    wpos = jax.lax.dynamic_slice(pos_sp, (wstart, jnp.int32(0)), (W, 3))
+    wm = jax.lax.dynamic_slice(mass_sp, (wstart,), (W,))
+    widx = wstart + jnp.arange(W, dtype=jnp.int32)
+    acc = acc + _pair_block(
+        gpos, gidx, wpos, jnp.where(wmask, wm, 0.0), widx, wmask, g, g_soft
+    )
+
+    # ---- residual near field: boundary cells, gathered particle list ----
+    P = cfg.near_particle_cap
+    nstart = tree.leaf_starts[near_ids]
+    nend = tree.leaf_starts[near_ids + 1]
+    counts = jnp.where(near_valid, nend - nstart, 0).astype(jnp.int32)
+    offs = jnp.cumsum(counts)
+    total = offs[-1]
+    p_dropped = jnp.maximum(total - P, 0)
+
+    k = jnp.arange(P, dtype=jnp.int32)
+    cell_of_k = jnp.searchsorted(offs, k, side="right")
+    cell_of_k = jnp.minimum(cell_of_k, cfg.near_cell_cap - 1)
+    base = jnp.where(cell_of_k > 0, offs[jnp.maximum(cell_of_k - 1, 0)], 0)
+    pidx = nstart[cell_of_k] + (k - base)
+    pvalid = k < jnp.minimum(total, P)
+    pidx = jnp.where(pvalid, pidx, 0)
+
+    acc = acc + _pair_block(
+        gpos, gidx, tree.pos_s[pidx],
+        jnp.where(pvalid, tree.mass_s[pidx], 0.0), pidx, pvalid, g, g_soft,
+    )
+
+    return acc, a_dropped, f_dropped, n_dropped + p_dropped
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
+    """Full Barnes-Hut acceleration: build + traverse + scatter back.
+
+    pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
+    N must be a multiple of 128 (guaranteed by ParticleState.create)."""
+    n = pos.shape[0]
+    tree = build_octree(pos, mass, bounds, cfg.max_level)
+
+    B = cfg.group_size
+    CG = cfg.chunk_groups
+    block = B * CG
+    pad = (-n) % block
+    if pad:
+        pos_sp = jnp.concatenate([tree.pos_s, jnp.zeros((pad, 3), pos.dtype)])
+        mass_sp = jnp.concatenate([tree.mass_s, jnp.zeros((pad,), mass.dtype)])
+    else:
+        pos_sp, mass_sp = tree.pos_s, tree.mass_s
+    n_tot = n + pad
+    # a window larger than the whole array degenerates to an all-pairs pass
+    window = min(cfg.window, n_tot)
+    gidx = jnp.arange(n_tot, dtype=jnp.int32)
+
+    w = bounds.width
+    cell_w2 = tuple(
+        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
+    )
+
+    per_group = partial(
+        _group_accel, tree, pos_sp, mass_sp, n_tot, cell_w2,
+        theta2, g, g_soft, cfg, window,
+    )
+    vm = jax.vmap(per_group)
+
+    n_groups = n_tot // B
+    gp = pos_sp.reshape(n_groups, B, 3)
+    gm = mass_sp.reshape(n_groups, B)
+    gi = gidx.reshape(n_groups, B)
+
+    def chunk_body(args):
+        cp, cm, ci = args
+        return vm(cp, cm, ci)
+
+    acc_c, adrop, fdrop, ndrop = jax.lax.map(
+        chunk_body,
+        (
+            gp.reshape(n_groups // CG, CG, B, 3),
+            gm.reshape(n_groups // CG, CG, B),
+            gi.reshape(n_groups // CG, CG, B),
+        ),
+    )
+    acc_s = acc_c.reshape(n_tot, 3)[:n]
+
+    # scatter back to original particle order
+    acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
+    stats = {
+        "accept_dropped": jnp.sum(adrop),
+        "frontier_dropped": jnp.sum(fdrop),
+        "near_dropped": jnp.sum(ndrop),
+    }
+    return acc, stats

@@ -1,0 +1,150 @@
+"""Linear octree build: Morton sort + dense level pyramid.
+
+Replaces the reference's three pointer/arena tree builders:
+  * manual recursive build, one node alloc per split
+    (src/manual/barnes_hut.rs:143-183),
+  * LLM arena build with parallel per-octant local arenas + merge
+    (src/llm/barnes_hut.rs:555-704),
+  * midterm incremental update (src/llm/barnes_hut_midterm.rs:628-672).
+
+TPU-first design: there are NO pointers and NO insertion at all.  The octree
+is a *dense pyramid* of per-level cell statistics over the 2^L x 2^L x 2^L
+Morton grid:
+
+    level l has 8^l cells; cell c's children are cells 8c..8c+7 of level l+1.
+
+Build = (1) Morton-encode + argsort particles (the XLA sort is parallel by
+construction — the analog of the reference's par_sort_unstable_by_key,
+src/llm/barnes_hut.rs:570-584), (2) one sorted segment-sum into leaf cells,
+(3) log L reshape-sums up the pyramid.  A full rebuild is cheap enough every
+step that the midterm engine's incremental machinery is unnecessary — the
+rebuild IS a sort (SURVEY.md §7.4).
+
+Mass-weighted coordinate sums (not COMs) are stored so empty cells are exact
+zeros and parent aggregation is a plain sum; traversal divides by mass where
+mass > 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops import morton
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LinearOctree:
+    """Sorted particles + dense level pyramid.
+
+    ``level_mass[l]`` has shape [8^l]; ``level_mpos[l]`` has shape [8^l, 3]
+    (mass-weighted position sums).  ``code_s`` are leaf-level Morton cell ids
+    of the sorted particles, with dead/padding particles given the
+    out-of-range sentinel 8^L so they sort to the tail and match no cell.
+    """
+
+    pos_s: jax.Array  # [N, 3] positions in Morton order
+    mass_s: jax.Array  # [N] effective masses in Morton order
+    code_s: jax.Array  # [N] int32 leaf cell ids (sorted), sentinel 8^L for dead
+    order: jax.Array  # [N] original index of sorted slot (pos_s = pos[order])
+    leaf_starts: jax.Array  # [8^L + 1] int32 cumulative particle counts:
+    # particles of leaf cell c occupy sorted slots [leaf_starts[c],
+    # leaf_starts[c+1]); a level-l cell id covers leaf ids
+    # [c << 3(L-l), (c+1) << 3(L-l)), so its range needs no binary search.
+    level_mass: Tuple[jax.Array, ...]
+    level_mpos: Tuple[jax.Array, ...]
+
+    @property
+    def max_level(self) -> int:
+        return len(self.level_mass) - 1
+
+
+@partial(jax.jit, static_argnames=("max_level",))
+def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
+    """pos [N,3], mass [N] (dead particles must already have mass 0)."""
+    n = pos.shape[0]
+    n_leaf = 1 << (3 * max_level)
+
+    codes = morton.cell_codes(pos, bounds, max_level)  # int32 in [0, 8^L)
+    # dead particles (mass 0) get the sentinel so they cluster at the sorted
+    # tail and never match a cell range during near-field gathering
+    codes = jnp.where(mass > 0, codes, jnp.int32(n_leaf))
+
+    order = jnp.argsort(codes)
+    code_s = codes[order]
+    pos_s = pos[order]
+    mass_s = mass[order]
+
+    # leaf level: one sorted segment-sum
+    seg = partial(
+        jax.ops.segment_sum,
+        segment_ids=code_s,
+        num_segments=n_leaf,
+        indices_are_sorted=True,
+    )
+    leaf_mass = seg(mass_s)
+    leaf_mpos = seg(pos_s * mass_s[:, None])
+    leaf_counts = seg(jnp.ones_like(code_s))  # dead (sentinel) codes drop out
+    leaf_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_counts).astype(jnp.int32)]
+    )
+
+    level_mass = [leaf_mass]
+    level_mpos = [leaf_mpos]
+    for _ in range(max_level):
+        level_mass.append(level_mass[-1].reshape(-1, 8).sum(axis=1))
+        level_mpos.append(level_mpos[-1].reshape(-1, 8, 3).sum(axis=1))
+    level_mass.reverse()
+    level_mpos.reverse()
+
+    return LinearOctree(
+        pos_s=pos_s,
+        mass_s=mass_s,
+        code_s=code_s,
+        order=order,
+        leaf_starts=leaf_starts,
+        level_mass=tuple(level_mass),
+        level_mpos=tuple(level_mpos),
+    )
+
+
+def cell_ranges(tree: LinearOctree, cell_ids, level: int):
+    """Sorted-particle ranges [start, end) for level-``level`` cell ids —
+    O(1) gathers from the cumulative leaf counts (no binary search)."""
+    shift = 3 * (tree.max_level - level)
+    start = tree.leaf_starts[cell_ids << shift]
+    end = tree.leaf_starts[(cell_ids + 1) << shift]
+    return start, end
+
+
+def leaf_ranges(tree: LinearOctree, cell_ids):
+    """Sorted-particle index ranges [start, end) for leaf cell ids (any
+    shape).  Works because particles are sorted by leaf code."""
+    start = jnp.searchsorted(tree.code_s, cell_ids, side="left")
+    end = jnp.searchsorted(tree.code_s, cell_ids + 1, side="left")
+    return start, end
+
+
+def tree_boxes(tree: LinearOctree, bounds, max_nodes_per_level: int = 4096):
+    """Occupied-node AABBs per level for inspection/visualization — the analog
+    of the reference's BFS iterator feeding AABB instance buffers
+    (src/manual/barnes_hut.rs:316-356), including its node-count clamp
+    (src/llm/barnes_hut.rs:1261).  Returns a list over levels of
+    (min [K,3], max [K,3], count) numpy arrays."""
+    import numpy as np
+
+    out = []
+    for l, m in enumerate(tree.level_mass):
+        occ = np.nonzero(np.asarray(m) > 0)[0]
+        occ = occ[:max_nodes_per_level]
+        ids = jnp.asarray(occ.astype(np.int32))
+        centers = morton.cell_centers_from_codes(ids, bounds, l)
+        half = float(bounds.width) / (1 << l) / 2.0
+        c = np.asarray(centers)
+        out.append((c - half, c + half, len(occ)))
+    return out

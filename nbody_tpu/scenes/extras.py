@@ -1,0 +1,49 @@
+"""Additional initial-condition generators beyond the reference's single
+hard-coded scene (the reference selects scenes by editing src/main.rs:52-89;
+here scenes are a registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plummer_sphere(n: int, *, total_mass: float = 1.0, scale: float = 1.0, seed: int = 0):
+    """Plummer model in virial equilibrium (standard Aarseth-Henon-Wielen
+    sampling)."""
+    rng = np.random.default_rng(seed)
+    m = np.full(n, total_mass / n)
+    # radius via inverse CDF
+    u = rng.random(n)
+    r = scale / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    # isotropic direction
+    vec = rng.normal(size=(n, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    pos = r[:, None] * vec
+    # velocity via von Neumann rejection on q^2 (1-q^2)^{7/2}
+    q = np.empty(n)
+    filled = 0
+    while filled < n:
+        x1 = rng.random(n - filled)
+        x2 = rng.random(n - filled)
+        ok = 0.1 * x2 < x1 * x1 * (1.0 - x1 * x1) ** 3.5
+        k = int(ok.sum())
+        q[filled : filled + k] = x1[ok]
+        filled += k
+    vesc = np.sqrt(2.0 * total_mass) * (r * r + scale * scale) ** -0.25
+    speed = q * vesc
+    vdir = rng.normal(size=(n, 3))
+    vdir /= np.linalg.norm(vdir, axis=1, keepdims=True)
+    vel = speed[:, None] * vdir
+    # center of mass frame
+    pos -= pos.mean(axis=0)
+    vel -= vel.mean(axis=0)
+    return pos, vel, m
+
+
+def uniform_cube(n: int, *, width: float = 8.0, total_mass: float = 1.0, vel_scale: float = 0.0, seed: int = 0):
+    """Cold/warm uniform cube of particles (simple stress scene)."""
+    rng = np.random.default_rng(seed)
+    pos = (rng.random((n, 3)) - 0.5) * width
+    vel = rng.normal(size=(n, 3)) * vel_scale
+    mass = np.full(n, total_mass / n)
+    return pos, vel, mass
