@@ -5,15 +5,16 @@ Round-1 metric: brute-force all-pairs throughput at N=64k on one chip
 src/manual/brute_force.rs:64-82).
 
 Reported as steps/second on the benchmark config (disc scene, dt=3e-2,
-eps=0.02, 64k particles).  ``vs_baseline`` compares against an estimated
-reference brute-force rate at N=64k, extrapolated from the reference's own
-measured data: its committed CSVs contain no brute-force rows (SURVEY.md §6),
-but the serial tree-code rates at N=10k (~27-28 steps/s for ALL three
-implementations, BASELINE.md) pin the per-interaction cost of the scalar
-pipeline; a serial O(N^2) sweep at N=64k does 64k^2/2 ~ 2.1e9 symmetric pair
-interactions/step.  Measured with the C++ oracle in native/ (same force law,
--O3, single thread — see native/README.md): ~0.11 steps/s at N=64k.  We use
-0.12 steps/s as a slightly generous baseline.
+eps=0.02, 64k particles).  ``vs_baseline`` compares against the reference
+brute-force rate at N=64k.  The reference's committed CSVs contain no
+brute-force rows (SURVEY.md §6), so the baseline is measured with the C++
+oracle in native/oracle.cpp (same serial symmetric pair loop and force law as
+src/manual/brute_force.rs:64-82, g++ -O3, strict FP, single thread — the
+engine is serial in the reference too): **0.076 steps/s at N=65536** on this
+machine (13.15 s/step, 2026-08-16).  Calibration: the same oracle's
+Barnes-Hut at N=10k runs ~28 steps/s single-threaded, matching the
+reference's own measured 27-28 steps/s at 1 thread (BASELINE.md), so this
+core is representative of the reference hardware.
 """
 
 import json
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 
 N = 65536
 STEPS = 25
-RUST_BF_64K_STEPS_PER_S = 0.12  # estimated serial reference brute force
+RUST_BF_64K_STEPS_PER_S = 0.076  # measured: native/oracle.cpp serial brute
 
 
 def main():
@@ -46,12 +47,20 @@ def main():
     run = make_run(engine.force, "leapfrog")
     run.lower(state, params, STEPS, None).compile()
 
-    t0 = time.perf_counter()
+    # warmup execution (first axon-relay execution pays a one-time program
+    # load); sync via scalar transfer — jax.block_until_ready is unreliable
+    # under the relay
     out = run(state, params, STEPS, None)
-    jax.block_until_ready(out)
+    float(out.time)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(out, params, STEPS, None)
+        float(out.time)
     elapsed = time.perf_counter() - t0
 
-    steps_per_s = STEPS / elapsed
+    steps_per_s = STEPS * reps / elapsed
     pairs_per_s = steps_per_s * float(N) * float(N)
     print(
         json.dumps(

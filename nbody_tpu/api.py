@@ -122,7 +122,10 @@ class Simulation:
         self._state = dataclasses.replace(st, acc=acc)
 
     def block_until_ready(self):
+        # A scalar device->host transfer is the only reliable sync under the
+        # axon relay (jax.block_until_ready can return before execution).
         jax.block_until_ready(self._state)
+        float(self._state.time)
         return self
 
     # -- particles ---------------------------------------------------------

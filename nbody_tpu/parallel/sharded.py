@@ -224,6 +224,7 @@ class ShardedSimulation:
 
     def block_until_ready(self):
         jax.block_until_ready(self._state)
+        float(self._state.time)  # hard sync (see api.Simulation)
         return self
 
     @property
