@@ -46,8 +46,8 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
         return {
             "tree_boxes": tree_boxes(tree, params.bounds),
             "accept_dropped": int(stats["accept_dropped"]),
-            "frontier_dropped": int(stats["frontier_dropped"]),
-            "near_dropped": int(stats["near_dropped"]),
+            "frontier_fallback": int(stats["frontier_fallback"]),
+            "near_fallback": int(stats["near_fallback"]),
         }
 
     return Engine(

@@ -53,20 +53,25 @@ from nbody_tpu.ops.tree import LinearOctree, build_octree
 class BHConfig:
     """Static traversal configuration (hashable; part of the jit key)."""
 
+    # Defaults tuned on TPU v5e (2026-08): large groups shift work from
+    # irregular gathers/scatters (slow on TPU) into dense MXU/VPU evals.
     max_level: int = 7  # leaf grid is 2^max_level per axis
-    group_size: int = 256  # particles sharing one traversal
-    window_pad: int = 512  # sorted-neighbor window extends this far each way
-    frontier_cap: int = 8192  # frontier slots per level (children included)
-    accept_cap: int = 1024  # accepted-node slots evaluated per level
-    near_cell_cap: int = 512  # residual near-field cells per group
-    near_particle_cap: int = 2048  # residual near-field particles per group
+    group_size: int = 2048  # particles sharing one traversal
+    window_pad: int = 2048  # sorted-neighbor window extends this far each way
+    frontier_cap: int = 2048  # frontier slots per level (children included)
+    accept_cap: int = 2048  # accepted-node slots evaluated per level
+    near_cell_cap: int = 2048  # residual near-field cells per group
+    near_particle_cap: int = 8192  # residual near-field particles per group
     # NOTE on sizing: scenes that straddle an octant plane (the benchmark
     # disc sits exactly on z=0) put half of each group's spatial neighbors
     # at Morton-far indices, so the residual gather path stays material even
     # with a wide window.  Overflow is reported in stats — treat nonzero
     # drops as a mis-sized config.
     start_level: int = 2  # dense start: all 8^start_level cells
-    chunk_groups: int = 16  # groups processed per lax.map iteration
+    chunk_groups: int = 2  # groups processed per lax.map iteration
+    subgroups: int = 64  # bbox granularity: acceptance tests against the
+    # union of this many per-subgroup boxes, so groups that straddle Morton
+    # seams (two far-apart clusters) don't open the whole tree
 
     @property
     def window(self) -> int:
@@ -119,8 +124,7 @@ def _compact(ids, keep, out_slots):
 
 def _group_accel(
     tree: LinearOctree,
-    pos_sp,  # [Ntot, 3] sorted+padded positions
-    mass_sp,  # [Ntot] sorted+padded masses
+    pmass_sp,  # [Ntot, 4] sorted+padded packed rows (x, y, z, mass)
     n_total: int,
     cell_w2: tuple,
     theta2,
@@ -142,16 +146,23 @@ def _group_accel(
     W = window
     n_leaf = 1 << (3 * L)
 
-    # group bounding box over alive members
-    has = gmass > 0
+    # per-subgroup bounding boxes over alive members (union covering: tight
+    # even when the group straddles a Morton seam into far-apart clusters)
+    S = cfg.subgroups
+    sub = B // S
+    has = (gmass > 0).reshape(S, sub)
+    spos = gpos.reshape(S, sub, 3)
     big = jnp.asarray(jnp.finfo(gpos.dtype).max, gpos.dtype)
-    lo = jnp.min(jnp.where(has[:, None], gpos, big), axis=0)
-    hi = jnp.max(jnp.where(has[:, None], gpos, -big), axis=0)
-    any_alive = jnp.any(has)
-    lo = jnp.where(any_alive, lo, 0.0)
-    hi = jnp.where(any_alive, hi, 0.0)
-    gc = 0.5 * (lo + hi)
-    gh = 0.5 * (hi - lo)  # per-axis half extents (box metric, not sphere)
+    lo = jnp.min(jnp.where(has[..., None], spos, big), axis=1)  # [S, 3]
+    hi = jnp.max(jnp.where(has[..., None], spos, -big), axis=1)
+    any_alive = jnp.any(has, axis=1)[:, None]
+    # empty subgroups get a point box parked far outside the domain so they
+    # never force an opening
+    far = jnp.asarray(1e30, gpos.dtype)
+    lo = jnp.where(any_alive, lo, far)
+    hi = jnp.where(any_alive, hi, far)
+    gc = 0.5 * (lo + hi)  # [S, 3]
+    gh = 0.5 * (hi - lo)
 
     # sorted-index window around the group
     wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
@@ -174,15 +185,13 @@ def _group_accel(
     delta = jnp.zeros((W + 1,), jnp.int32)
 
     for l in range(cfg.start_level, L + 1):
-        m = jnp.where(valid, tree.level_mass[l][ids], 0.0)
+        # ONE packed-row gather per slot: (m, mx, my, mz, start, end, _, _)
+        row = tree.level_table[l][ids]  # [F, 8]
+        m = jnp.where(valid, row[:, 0], 0.0)
         occupied = m > 0
-        mp = tree.level_mpos[l][ids]
-        com = mp / jnp.where(occupied, m, 1.0)[:, None]
-
-        # particle range of each frontier cell (O(1) from cumulative counts)
-        shift = 3 * (L - l)
-        cs = tree.leaf_starts[ids << shift]
-        ce = tree.leaf_starts[(ids + 1) << shift]
+        com = row[:, 1:4] / jnp.where(occupied, m, 1.0)[:, None]
+        cs = row[:, 4].astype(jnp.int32)
+        ce = row[:, 5].astype(jnp.int32)
 
         # cells wholly inside the window: handled exactly by the window pass
         covered = occupied & (cs >= wstart) & (ce <= wend)
@@ -190,10 +199,35 @@ def _group_accel(
         delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
         delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
 
-        # exact distance from node COM to the group's bounding box
-        d = jnp.maximum(jnp.abs(com - gc[None, :]) - gh[None, :], 0.0)
-        rmin2 = jnp.sum(d * d, axis=-1)
+        # exact distance from node COM to the union of subgroup boxes
+        d = jnp.maximum(
+            jnp.abs(com[:, None, :] - gc[None, :, :]) - gh[None, :, :], 0.0
+        )  # [F, S, 3]
+        rmin2 = jnp.min(jnp.sum(d * d, axis=-1), axis=-1)  # [F]
         accept = occupied & ~covered & (cell_w2[l] < theta2 * rmin2)
+        expand = occupied & ~covered & ~accept
+
+        if l < L:
+            # cells that would expand past the parent cap degrade to
+            # monopole (graceful fallback, not a dropped force)
+            overflowed = expand & (jnp.cumsum(expand) > F // 8)
+            f_dropped = f_dropped + jnp.sum(overflowed).astype(jnp.int32)
+            accept = accept | overflowed
+            expand = expand & ~overflowed
+        else:
+            # leaf level: take unexpandable cells into the exact near field
+            # while they fit the particle and cell budgets (order-preserving
+            # prefix); everything beyond degrades to monopole
+            counts_slot = jnp.where(expand, ce - cs, 0)
+            include = (
+                expand
+                & (jnp.cumsum(counts_slot) <= cfg.near_particle_cap)
+                & (jnp.cumsum(expand) <= cfg.near_cell_cap)
+            )
+            overflowed = expand & ~include
+            n_dropped = jnp.sum(overflowed).astype(jnp.int32)
+            accept = accept | overflowed
+            expand = include
 
         # compact accepted nodes to a small dense slab before evaluation
         slots = jnp.arange(ids.shape[0], dtype=jnp.int32)
@@ -203,50 +237,52 @@ def _group_accel(
             gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g, g_soft
         )
 
-        expand = occupied & ~covered & ~accept
         if l < L:
-            parents, pvalid, dropped = _compact(ids, expand, F // 8)
-            f_dropped = f_dropped + dropped.astype(jnp.int32)
+            parents, pvalid, _ = _compact(ids, expand, F // 8)
             ids = (parents[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(F)
             valid = jnp.repeat(pvalid, 8)
         else:
-            near_ids, near_valid, dropped = _compact(
-                ids, expand, cfg.near_cell_cap
-            )
-            n_dropped = dropped.astype(jnp.int32)
+            near_ids, near_valid, _ = _compact(ids, expand, cfg.near_cell_cap)
 
     # ---- window pass: contiguous sorted neighbors, dense direct sum ----
     wmask = jnp.cumsum(delta)[:W] > 0
-    wpos = jax.lax.dynamic_slice(pos_sp, (wstart, jnp.int32(0)), (W, 3))
-    wm = jax.lax.dynamic_slice(mass_sp, (wstart,), (W,))
+    wrow = jax.lax.dynamic_slice(pmass_sp, (wstart, jnp.int32(0)), (W, 4))
     widx = wstart + jnp.arange(W, dtype=jnp.int32)
     acc = acc + _pair_block(
-        gpos, gidx, wpos, jnp.where(wmask, wm, 0.0), widx, wmask, g, g_soft
+        gpos, gidx, wrow[:, :3], jnp.where(wmask, wrow[:, 3], 0.0),
+        widx, wmask, g, g_soft,
     )
 
     # ---- residual near field: boundary cells, gathered particle list ----
+    # inclusion at leaf level guaranteed total <= near_particle_cap
     P = cfg.near_particle_cap
-    nstart = tree.leaf_starts[near_ids]
-    nend = tree.leaf_starts[near_ids + 1]
+    nrow = tree.level_table[L][near_ids]
+    nstart = nrow[:, 4].astype(jnp.int32)
+    nend = nrow[:, 5].astype(jnp.int32)
     counts = jnp.where(near_valid, nend - nstart, 0).astype(jnp.int32)
     offs = jnp.cumsum(counts)
     total = offs[-1]
-    p_dropped = jnp.maximum(total - P, 0)
 
-    k = jnp.arange(P, dtype=jnp.int32)
-    cell_of_k = jnp.searchsorted(offs, k, side="right")
+    # slot k belongs to the c-th near cell, c = #offs <= k — computed with
+    # one scatter + cumsum instead of a P-wide binary search
+    marks = jnp.zeros((P + 1,), jnp.int32).at[jnp.minimum(offs, P)].add(
+        jnp.where(near_valid, 1, 0)
+    )
+    cell_of_k = jnp.cumsum(marks)[:P]
     cell_of_k = jnp.minimum(cell_of_k, cfg.near_cell_cap - 1)
+    k = jnp.arange(P, dtype=jnp.int32)
     base = jnp.where(cell_of_k > 0, offs[jnp.maximum(cell_of_k - 1, 0)], 0)
     pidx = nstart[cell_of_k] + (k - base)
     pvalid = k < jnp.minimum(total, P)
     pidx = jnp.where(pvalid, pidx, 0)
 
+    prow = pmass_sp[pidx]  # [P, 4] packed (x, y, z, m): one row gather
     acc = acc + _pair_block(
-        gpos, gidx, tree.pos_s[pidx],
-        jnp.where(pvalid, tree.mass_s[pidx], 0.0), pidx, pvalid, g, g_soft,
+        gpos, gidx, prow[:, :3],
+        jnp.where(pvalid, prow[:, 3], 0.0), pidx, pvalid, g, g_soft,
     )
 
-    return acc, a_dropped, f_dropped, n_dropped + p_dropped
+    return acc, a_dropped, f_dropped, n_dropped, total
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -262,11 +298,11 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
     CG = cfg.chunk_groups
     block = B * CG
     pad = (-n) % block
+    pmass_s = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
     if pad:
-        pos_sp = jnp.concatenate([tree.pos_s, jnp.zeros((pad, 3), pos.dtype)])
-        mass_sp = jnp.concatenate([tree.mass_s, jnp.zeros((pad,), mass.dtype)])
+        pmass_sp = jnp.concatenate([pmass_s, jnp.zeros((pad, 4), pos.dtype)])
     else:
-        pos_sp, mass_sp = tree.pos_s, tree.mass_s
+        pmass_sp = pmass_s
     n_tot = n + pad
     # a window larger than the whole array degenerates to an all-pairs pass
     window = min(cfg.window, n_tot)
@@ -278,21 +314,21 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
     )
 
     per_group = partial(
-        _group_accel, tree, pos_sp, mass_sp, n_tot, cell_w2,
+        _group_accel, tree, pmass_sp, n_tot, cell_w2,
         theta2, g, g_soft, cfg, window,
     )
     vm = jax.vmap(per_group)
 
     n_groups = n_tot // B
-    gp = pos_sp.reshape(n_groups, B, 3)
-    gm = mass_sp.reshape(n_groups, B)
+    gp = pmass_sp[:, :3].reshape(n_groups, B, 3)
+    gm = pmass_sp[:, 3].reshape(n_groups, B)
     gi = gidx.reshape(n_groups, B)
 
     def chunk_body(args):
         cp, cm, ci = args
         return vm(cp, cm, ci)
 
-    acc_c, adrop, fdrop, ndrop = jax.lax.map(
+    acc_c, adrop, fdrop, ndrop, ntot = jax.lax.map(
         chunk_body,
         (
             gp.reshape(n_groups // CG, CG, B, 3),
@@ -305,8 +341,12 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
     # scatter back to original particle order
     acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
     stats = {
+        # true drops (should always be 0; raise accept_cap if not)
         "accept_dropped": jnp.sum(adrop),
-        "frontier_dropped": jnp.sum(fdrop),
-        "near_dropped": jnp.sum(ndrop),
+        # graceful monopole fallbacks: cells that would have been opened /
+        # summed exactly but exceeded a budget (accuracy, not correctness)
+        "frontier_fallback": jnp.sum(fdrop),
+        "near_fallback": jnp.sum(ndrop),
+        "near_totals": ntot.reshape(-1),  # residual near size per group
     }
     return acc, stats

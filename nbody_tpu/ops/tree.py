@@ -58,19 +58,44 @@ class LinearOctree:
     # [c << 3(L-l), (c+1) << 3(L-l)), so its range needs no binary search.
     level_mass: Tuple[jax.Array, ...]
     level_mpos: Tuple[jax.Array, ...]
+    #: packed per-level node table [8^l, 8] float32-exact rows:
+    #: (mass, mx, my, mz, range_start, range_end, 0, 0) — one row gather
+    #: per frontier slot instead of six scalar gathers (counts < 2^24 are
+    #: exact in f32)
+    level_table: Tuple[jax.Array, ...]
 
     @property
     def max_level(self) -> int:
         return len(self.level_mass) - 1
 
 
+def grid_bounds(bounds, max_level: int):
+    """Tree grid = domain box shifted by half a leaf cell in every axis.
+
+    Without the shift, the domain center planes are cell boundaries at EVERY
+    level; distributions that straddle them (the benchmark disc lies exactly
+    on z=0, reference src/main.rs:74) get split at the top Morton bit, making
+    spatial neighbors maximally Morton-far and exploding the traversal's
+    near field.  A half-leaf-cell shift guarantees the center planes are
+    never cell boundaries at any level.  Edge particles clip into the last
+    cell (they are about to be culled anyway); the cull itself still uses
+    the unshifted domain box."""
+    import dataclasses
+
+    cell = bounds.width / (1 << max_level)
+    return dataclasses.replace(bounds, center=bounds.center + cell * 0.5)
+
+
 @partial(jax.jit, static_argnames=("max_level",))
 def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
-    """pos [N,3], mass [N] (dead particles must already have mass 0)."""
+    """pos [N,3], mass [N] (dead particles must already have mass 0).
+    ``bounds`` is the domain box; the tree grid is the half-cell-shifted
+    version (see grid_bounds)."""
     n = pos.shape[0]
     n_leaf = 1 << (3 * max_level)
+    gb = grid_bounds(bounds, max_level)
 
-    codes = morton.cell_codes(pos, bounds, max_level)  # int32 in [0, 8^L)
+    codes = morton.cell_codes(pos, gb, max_level)  # int32 in [0, 8^L)
     # dead particles (mass 0) get the sentinel so they cluster at the sorted
     # tail and never match a cell range during near-field gathering
     codes = jnp.where(mass > 0, codes, jnp.int32(n_leaf))
@@ -102,6 +127,37 @@ def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
     level_mass.reverse()
     level_mpos.reverse()
 
+    # per-level particle ranges from the counts pyramid (reshape-sums + one
+    # cumsum per level — no gathers)
+    level_counts = [leaf_counts]
+    for _ in range(max_level):
+        level_counts.append(level_counts[-1].reshape(-1, 8).sum(axis=1))
+    level_counts.reverse()
+
+    ftype = pos.dtype  # counts < 2^24 are exact in f32; f64 under x64
+    level_table = []
+    for l in range(max_level + 1):
+        c = 1 << (3 * l)
+        cnt = level_counts[l]
+        ends = jnp.cumsum(cnt).astype(ftype)
+        starts = ends - cnt.astype(ftype)
+        zero = jnp.zeros((c,), ftype)
+        level_table.append(
+            jnp.stack(
+                [
+                    level_mass[l].astype(ftype),
+                    level_mpos[l][:, 0].astype(ftype),
+                    level_mpos[l][:, 1].astype(ftype),
+                    level_mpos[l][:, 2].astype(ftype),
+                    starts,
+                    ends,
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )
+        )
+
     return LinearOctree(
         pos_s=pos_s,
         mass_s=mass_s,
@@ -110,6 +166,7 @@ def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
         leaf_starts=leaf_starts,
         level_mass=tuple(level_mass),
         level_mpos=tuple(level_mpos),
+        level_table=tuple(level_table),
     )
 
 
@@ -138,13 +195,14 @@ def tree_boxes(tree: LinearOctree, bounds, max_nodes_per_level: int = 4096):
     (min [K,3], max [K,3], count) numpy arrays."""
     import numpy as np
 
+    gb = grid_bounds(bounds, tree.max_level)
     out = []
     for l, m in enumerate(tree.level_mass):
         occ = np.nonzero(np.asarray(m) > 0)[0]
         occ = occ[:max_nodes_per_level]
         ids = jnp.asarray(occ.astype(np.int32))
-        centers = morton.cell_centers_from_codes(ids, bounds, l)
-        half = float(bounds.width) / (1 << l) / 2.0
+        centers = morton.cell_centers_from_codes(ids, gb, l)
+        half = float(gb.width) / (1 << l) / 2.0
         c = np.asarray(centers)
         out.append((c - half, c + half, len(occ)))
     return out
