@@ -32,7 +32,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from nbody_tpu.core.state import Bounds, ParticleState, SimParams
-from nbody_tpu.core.stepper import make_step, make_run
+from nbody_tpu.core.stepper import (
+    make_step,
+    make_run,
+    make_step_stateful,
+    make_run_stateful,
+)
 from nbody_tpu.core.energy import total_energy
 from nbody_tpu.engines import Engine, get_engine
 
@@ -63,8 +68,18 @@ class Simulation:
             dtype=dtype,
             **settings,
         )
-        self._step = jax.jit(make_step(self.engine.force, integrator))
-        self._run = make_run(self.engine.force, integrator)
+        if self.engine.stateful:
+            self._carry = self.engine.init_carry(
+                self._state.pos, self._state.effective_mass(), self._params
+            )
+            self._step_c = jax.jit(make_step_stateful(self.engine, integrator))
+            self._run_c = make_run_stateful(self.engine, integrator)
+            self._step = None
+            self._run = None
+        else:
+            self._carry = None
+            self._step = jax.jit(make_step(self.engine.force, integrator))
+            self._run = make_run(self.engine.force, integrator)
         self._initial: Optional[ParticleState] = None
         self.init()
 
@@ -78,6 +93,7 @@ class Simulation:
             self._state, time=jnp.zeros_like(self._state.time)
         )
         self._initial = self._state
+        self._initial_carry = self._carry
 
     def reset(self):
         """Restore initial particles, keep current settings (reference 'Reset'
@@ -85,32 +101,43 @@ class Simulation:
         if self._initial is None:
             raise RuntimeError("init() was never called")
         self._state = self._initial
+        self._carry = self._initial_carry
 
     # -- stepping ----------------------------------------------------------
 
     def step(self):
-        self._state = self._step(self._state, self._params)
+        self.step_by(None)
 
-    def step_by(self, dt: float):
-        self._state = self._step(self._state, self._params, jnp.asarray(dt))
+    def step_by(self, dt: Optional[float] = None):
+        dt = None if dt is None else jnp.asarray(dt)
+        if self.engine.stateful:
+            self._state, self._carry = self._step_c(
+                self._state, self._carry, self._params, dt
+            )
+        else:
+            self._state = self._step(self._state, self._params, dt)
 
     def run(self, n_steps: int, dt: Optional[float] = None):
         """n fused steps in one XLA program."""
-        self._state = self._run(
-            self._state,
-            self._params,
-            n_steps,
-            None if dt is None else jnp.asarray(dt),
-        )
+        dt = None if dt is None else jnp.asarray(dt)
+        if self.engine.stateful:
+            self._state, self._carry = self._run_c(
+                self._state, self._carry, self._params, n_steps, dt
+            )
+        else:
+            self._state = self._run(self._state, self._params, n_steps, dt)
         return self._state
 
     def compile(self, n_steps: int, dt=None):
         """Ahead-of-time compile the fused ``run`` for a given step count so
         benchmark timing windows exclude compilation."""
-        self._run.lower(
-            self._state, self._params, n_steps,
-            None if dt is None else jnp.asarray(dt),
-        ).compile()
+        dt = None if dt is None else jnp.asarray(dt)
+        if self.engine.stateful:
+            self._run_c.lower(
+                self._state, self._carry, self._params, n_steps, dt
+            ).compile()
+        else:
+            self._run.lower(self._state, self._params, n_steps, dt).compile()
         return self
 
     def update_forces(self):

@@ -93,3 +93,55 @@ def make_run(force_fn: Callable, integrator="leapfrog") -> Callable:
         return state
 
     return run
+
+
+def make_step_stateful(engine, integrator="leapfrog") -> Callable:
+    """Like make_step, for engines that carry a cache between steps (e.g.
+    the incremental octree): ``step(state, carry, params, dt=None) ->
+    (state, carry)``."""
+    integ: Integrator = get_integrator(integrator)
+
+    def step(state: ParticleState, carry, params: SimParams, dt=None):
+        if dt is None:
+            dt = params.dt
+        dt = jnp.asarray(dt, dtype=state.dtype)
+        alive_col = state.alive[:, None]
+
+        pos = jnp.where(alive_col, integ.pre_force(state.pos, state.vel, dt), state.pos)
+        alive = state.alive & params.bounds.contains(pos)
+        alive_col = alive[:, None]
+        mass_eff = jnp.where(alive, state.mass, jnp.zeros_like(state.mass))
+
+        acc, carry = engine.force_carry(pos, mass_eff, params, carry)
+        acc = jnp.where(alive_col, acc, jnp.zeros_like(acc))
+
+        new_pos, new_vel = integ.after_force(pos, state.vel, acc, dt)
+        pos = jnp.where(alive_col, new_pos, pos)
+        vel = jnp.where(alive_col, new_vel, state.vel)
+
+        return (
+            ParticleState(
+                pos=pos, vel=vel, acc=acc, mass=state.mass, alive=alive,
+                time=state.time + dt,
+            ),
+            carry,
+        )
+
+    return step
+
+
+def make_run_stateful(engine, integrator="leapfrog") -> Callable:
+    step = make_step_stateful(engine, integrator)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run(state, carry, params: SimParams, n_steps: int, dt=None):
+        def body(sc, _):
+            s, c = sc
+            return step(s, c, params, dt), None
+
+        (state, carry), _ = jax.lax.scan(
+            body, (state, carry), None, length=n_steps
+        )
+        return state, carry
+
+    return run

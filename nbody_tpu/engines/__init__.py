@@ -29,6 +29,15 @@ class Engine:
     #: src/manual/barnes_hut.rs:316-356)
     aux: Optional[Callable] = None
     description: str = ""
+    #: stateful engines (e.g. the incremental tree) carry a cache between
+    #: steps: init_carry(pos, mass, params) -> carry and
+    #: force_carry(pos, mass, params, carry) -> (acc, carry).
+    init_carry: Optional[Callable] = None
+    force_carry: Optional[Callable] = None
+
+    @property
+    def stateful(self) -> bool:
+        return self.force_carry is not None
 
 
 def register(engine: Engine) -> Engine:

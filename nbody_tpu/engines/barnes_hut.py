@@ -58,6 +58,44 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     )
 
 
+def make_bh_lazy_engine(name: str = "bh-lazy", rebuild_frac: float = 0.3,
+                        move_cells: float = 1.0, **options) -> Engine:
+    """Incremental-tree Barnes-Hut (the TPU analog of the reference midterm
+    engine, src/llm/barnes_hut_midterm.rs): node stats are refreshed in
+    place each step (no argsort); a full rebuild triggers only when
+    ``rebuild_frac`` of the alive particles have strayed more than
+    ``move_cells`` leaf cells from their frozen cell."""
+    from nbody_tpu.ops.traversal import bh_accel_lazy
+    from nbody_tpu.ops.tree import build_octree
+
+    cfg = BHConfig(**options)
+
+    def init_carry(pos, mass, params):
+        return build_octree(pos, mass, params.bounds, cfg.max_level)
+
+    def force_carry(pos, mass, params, tree):
+        acc, _stats, tree = bh_accel_lazy(
+            pos, mass, params.bounds, params.theta2, params.g, params.g_soft,
+            tree, cfg, rebuild_frac, move_cells,
+        )
+        return acc, tree
+
+    def force(pos, mass, params):
+        # stateless fallback: build + traverse
+        acc, _stats = bh_accel(
+            pos, mass, params.bounds, params.theta2, params.g, params.g_soft, cfg
+        )
+        return acc
+
+    return Engine(
+        name=name,
+        force=force,
+        init_carry=init_carry,
+        force_carry=force_carry,
+        description=f"incremental Barnes-Hut (lazy rebuild), {cfg}",
+    )
+
+
 def _bh_factory(**options):
     options.setdefault("max_level", 7)
     return make_bh_engine("bh", **options)
@@ -65,9 +103,9 @@ def _bh_factory(**options):
 
 def _bh_deep_factory(**options):
     options.setdefault("max_level", 8)
-    options.setdefault("near_particle_cap", 1024)
     return make_bh_engine("bh-deep", **options)
 
 
 ENGINES["bh"] = _bh_factory
 ENGINES["bh-deep"] = _bh_deep_factory
+ENGINES["bh-lazy"] = make_bh_lazy_engine

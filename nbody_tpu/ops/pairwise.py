@@ -70,6 +70,12 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=256, tile_j=2048):
     sizes (states are capacity-padded; pad sources with m=0)."""
     n = pos.shape[0]
     dtype = pos.dtype
+    # shrink tiles to the largest power-of-two divisor of n (capacities are
+    # always multiples of 128, so 128 always works)
+    while tile_i > 128 and n % tile_i:
+        tile_i //= 2
+    while tile_j > 128 and n % tile_j:
+        tile_j //= 2
     tile_i = min(tile_i, n)
     tile_j = min(tile_j, n)
     assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)

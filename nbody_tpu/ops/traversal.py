@@ -285,22 +285,18 @@ def _group_accel(
     return acc, a_dropped, f_dropped, n_dropped, total
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
-    """Full Barnes-Hut acceleration: build + traverse + scatter back.
-
-    pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
-    N must be a multiple of 128 (guaranteed by ParticleState.create)."""
-    n = pos.shape[0]
-    tree = build_octree(pos, mass, bounds, cfg.max_level)
-
+def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
+    """Group traversal + force over an already-built tree; returns
+    (acc in original particle order, stats)."""
     B = cfg.group_size
     CG = cfg.chunk_groups
     block = B * CG
     pad = (-n) % block
     pmass_s = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
     if pad:
-        pmass_sp = jnp.concatenate([pmass_s, jnp.zeros((pad, 4), pos.dtype)])
+        pmass_sp = jnp.concatenate(
+            [pmass_s, jnp.zeros((pad, 4), pmass_s.dtype)]
+        )
     else:
         pmass_sp = pmass_s
     n_tot = n + pad
@@ -350,3 +346,65 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
         "near_totals": ntot.reshape(-1),  # residual near size per group
     }
     return acc, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
+    """Full Barnes-Hut acceleration: build + traverse + scatter back.
+
+    pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
+    N must be a multiple of 128 (guaranteed by ParticleState.create)."""
+    tree = build_octree(pos, mass, bounds, cfg.max_level)
+    return traverse_tree(tree, bounds, theta2, g, g_soft, cfg, pos.shape[0])
+
+
+@partial(jax.jit, static_argnames=("cfg", "rebuild_frac", "move_cells"))
+def bh_accel_lazy(
+    pos, mass, bounds, theta2, g, g_soft, tree,
+    cfg: BHConfig = BHConfig(), rebuild_frac: float = 0.3,
+    move_cells: float = 1.0,
+):
+    """Incremental Barnes-Hut: reuse the carried tree's binning, refreshing
+    node statistics from current positions; trigger a full rebuild (argsort)
+    only when too many particles have left their cells.
+
+    The TPU-native analog of the reference midterm engine
+    (src/llm/barnes_hut_midterm.rs): its movement threshold (5% of the
+    domain, rebuild when >30% moved, :636-653) maps to ``move_cells`` leaf
+    cells and ``rebuild_frac``.
+
+    Returns (acc, stats, new_tree).  ``tree`` may come from a previous step
+    or ``build_octree``."""
+    from nbody_tpu.ops import morton
+    from nbody_tpu.ops.tree import grid_bounds, refresh_octree
+
+    L = cfg.max_level
+    gb = grid_bounds(bounds, L)
+    pos_s = pos[tree.order]
+    mass_s = mass[tree.order]
+    alive_s = mass_s > 0
+
+    # how far has each particle strayed from its frozen cell center?
+    centers = morton.cell_centers_from_codes(
+        jnp.minimum(tree.code_s, (1 << (3 * L)) - 1), gb, L
+    )
+    cell_w = gb.width / (1 << L)
+    moved = (
+        jnp.max(jnp.abs(pos_s - centers), axis=-1) > (0.5 + move_cells) * cell_w
+    )
+    n_alive = jnp.maximum(jnp.sum(alive_s), 1)
+    frac = jnp.sum(moved & alive_s) / n_alive
+
+    def rebuild(_):
+        return build_octree(pos, mass, bounds, L)
+
+    def refresh(t):
+        return refresh_octree(t, pos, mass)
+
+    new_tree = jax.lax.cond(frac > rebuild_frac, rebuild, refresh, tree)
+    acc, stats = traverse_tree(new_tree, bounds, theta2, g, g_soft, cfg,
+                               pos.shape[0])
+    stats = dict(stats)
+    stats["rebuilt"] = (frac > rebuild_frac).astype(jnp.int32)
+    stats["moved_frac"] = frac
+    return acc, stats, new_tree

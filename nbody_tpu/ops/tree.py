@@ -170,6 +170,62 @@ def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
     )
 
 
+def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
+    """Refresh node statistics from CURRENT positions while keeping the
+    FROZEN binning (sort order, cell assignment, ranges) — the TPU-native
+    analog of the reference midterm engine's incremental tree update
+    (src/llm/barnes_hut_midterm.rs:628-672): particles that moved stay in
+    their old node until a rebuild is triggered.
+
+    Skips the argsort (the expensive part of a rebuild); counts/ranges are
+    reused (dead particles inside stale ranges have zero mass and are
+    harmless)."""
+    pos_s = pos[tree.order]
+    mass_s = mass[tree.order]
+    n_leaf = tree.level_mass[-1].shape[0]
+    seg = partial(
+        jax.ops.segment_sum,
+        segment_ids=tree.code_s,
+        num_segments=n_leaf,
+        indices_are_sorted=True,
+    )
+    leaf_mass = seg(mass_s)
+    leaf_mpos = seg(pos_s * mass_s[:, None])
+
+    level_mass = [leaf_mass]
+    level_mpos = [leaf_mpos]
+    for _ in range(tree.max_level):
+        level_mass.append(level_mass[-1].reshape(-1, 8).sum(axis=1))
+        level_mpos.append(level_mpos[-1].reshape(-1, 8, 3).sum(axis=1))
+    level_mass.reverse()
+    level_mpos.reverse()
+
+    level_table = []
+    for l in range(tree.max_level + 1):
+        old = tree.level_table[l]
+        level_table.append(
+            jnp.concatenate(
+                [
+                    level_mass[l][:, None].astype(old.dtype),
+                    level_mpos[l].astype(old.dtype),
+                    old[:, 4:],  # frozen ranges
+                ],
+                axis=1,
+            )
+        )
+
+    import dataclasses
+
+    return dataclasses.replace(
+        tree,
+        pos_s=pos_s,
+        mass_s=mass_s,
+        level_mass=tuple(level_mass),
+        level_mpos=tuple(level_mpos),
+        level_table=tuple(level_table),
+    )
+
+
 def cell_ranges(tree: LinearOctree, cell_ids, level: int):
     """Sorted-particle ranges [start, end) for level-``level`` cell ids —
     O(1) gathers from the cumulative leaf counts (no binary search)."""
