@@ -1,0 +1,93 @@
+"""Visualizer server: payloads, controls, frame-loop parity."""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.api import Simulation
+from nbody_tpu.scenes import self_gravitating_disc
+from nbody_tpu.vis.server import SimLoop, VisServer
+
+
+def make_sim(n=200, engine="brute"):
+    pos, vel, mass = self_gravitating_disc(n, seed=0)
+    opts = {}
+    if engine.startswith("bh"):
+        opts = dict(max_level=4, group_size=128, subgroups=8, window_pad=64,
+                    frontier_cap=2048, accept_cap=1024, near_cell_cap=512,
+                    near_particle_cap=512, start_level=1, chunk_groups=1)
+    return Simulation(pos, vel, mass, engine=engine, engine_options=opts,
+                      dt=3e-2, g_soft=0.02, theta2=1.0, dtype=jnp.float32)
+
+
+def test_positions_blob_roundtrip():
+    sim = make_sim(100)
+    srv = VisServer(sim, port=0)
+    blob = srv.positions_blob()
+    arr = np.frombuffer(blob, np.float32).reshape(-1, 3)
+    assert arr.shape[0] == 101
+    p, _, _, _ = sim.get_points()
+    np.testing.assert_allclose(arr, p.astype(np.float32))
+
+
+def test_boxes_blob_bh():
+    sim = make_sim(300, engine="bh")
+    srv = VisServer(sim, port=0)
+    blob = srv.boxes_blob()
+    rec = np.frombuffer(blob, np.float32).reshape(-1, 7)
+    assert rec.shape[0] > 1
+    # boxes are well-formed: min < max, depth fraction in [0, 1]
+    assert np.all(rec[:, 0:3] < rec[:, 3:6])
+    assert rec[:, 6].min() >= 0.0 and rec[:, 6].max() <= 1.0
+
+
+def test_sim_loop_step_and_rewind():
+    sim = make_sim(100)
+    loop = SimLoop(sim)
+    # manual forward steps then rewind to the start (no thread needed:
+    # drive the pending queue directly)
+    loop._pending = 3
+    loop.run_once = None
+    # execute pending inline (mimic one loop iteration body)
+    while loop._pending != 0:
+        dt = float(sim.settings.dt)
+        sim.step_by(dt if loop._pending > 0 else -dt)
+        loop._pending += -1 if loop._pending > 0 else 1
+    assert abs(sim.elapsed - 0.09) < 1e-6
+    loop._pending = -3
+    while loop._pending != 0:
+        dt = float(sim.settings.dt)
+        sim.step_by(dt if loop._pending > 0 else -dt)
+        loop._pending += -1 if loop._pending > 0 else 1
+    assert abs(sim.elapsed) < 1e-6
+
+
+def test_http_endpoints():
+    sim = make_sim(100)
+    srv = VisServer(sim, port=0)
+    httpd = srv.serve(block=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        meta = json.loads(urllib.request.urlopen(base + "/api/meta").read())
+        assert meta["n_alive"] == 101
+        assert meta["paused"] is True
+        html = urllib.request.urlopen(base + "/").read()
+        assert b"nbody_tpu" in html
+        blob = urllib.request.urlopen(base + "/api/positions").read()
+        assert len(blob) == 101 * 12
+        # settings control round-trips
+        req = urllib.request.Request(
+            base + "/api/control",
+            data=json.dumps({"cmd": "settings",
+                             "values": {"theta2": 0.25}}).encode(),
+            method="POST",
+        )
+        meta = json.loads(urllib.request.urlopen(req).read())
+        assert abs(meta["settings"]["theta2"] - 0.25) < 1e-6
+    finally:
+        httpd.shutdown()
