@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=0,
                    help="steps per fused scan chunk (0 = all in one scan)")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the timed run to DIR "
+                   "(the TPU replacement for the reference's perf-stat "
+                   "counters)")
+    p.add_argument("--save", metavar="PATH", default=None,
+                   help="checkpoint the final state to PATH")
     return p
 
 
@@ -95,14 +101,24 @@ def main(argv=None) -> dict:
 
     if not args.json:
         print("Running simulation without rendering...")
-    start = time.perf_counter()
-    remaining = args.steps
-    while remaining > 0:
-        k = min(chunk, remaining)
-        sim.run(k)
-        remaining -= k
-    sim.block_until_ready()
-    elapsed = time.perf_counter() - start
+
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from nbody_tpu.utils.profiling import trace
+
+        prof = trace(args.profile)
+
+    with prof:
+        start = time.perf_counter()
+        remaining = args.steps
+        while remaining > 0:
+            k = min(chunk, remaining)
+            sim.run(k)
+            remaining -= k
+        sim.block_until_ready()
+        elapsed = time.perf_counter() - start
 
     steps_per_second = args.steps / elapsed
     result = {
@@ -117,6 +133,9 @@ def main(argv=None) -> dict:
         e1 = sim.energy()
         result.update(energy_initial=e0, energy_final=e1,
                       energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"))
+    if args.save:
+        sim.save(args.save)
+        result["checkpoint"] = args.save
     if args.json:
         print(json.dumps(result))
     else:

@@ -285,9 +285,17 @@ def _group_accel(
     return acc, a_dropped, f_dropped, n_dropped, total
 
 
-def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
-    """Group traversal + force over an already-built tree; returns
-    (acc in original particle order, stats)."""
+def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
+                  chunk_range=None, n_shards: int = 1):
+    """Group traversal + force over an already-built tree.
+
+    Default: process every group, scatter back, return
+    (acc in original particle order, stats).
+
+    Multi-chip mode: ``chunk_range=(first_chunk, )`` with ``n_shards > 1``
+    processes only this shard's contiguous range of chunk groups (1/n_shards
+    of the total) and returns (acc slice in SORTED order, stats) — the
+    caller all-gathers slices across the mesh and scatters once."""
     B = cfg.group_size
     CG = cfg.chunk_groups
     block = B * CG
@@ -324,18 +332,31 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         cp, cm, ci = args
         return vm(cp, cm, ci)
 
-    acc_c, adrop, fdrop, ndrop, ntot = jax.lax.map(
-        chunk_body,
-        (
-            gp.reshape(n_groups // CG, CG, B, 3),
-            gm.reshape(n_groups // CG, CG, B),
-            gi.reshape(n_groups // CG, CG, B),
-        ),
-    )
-    acc_s = acc_c.reshape(n_tot, 3)[:n]
+    n_chunks = n_groups // CG
+    cgp = gp.reshape(n_chunks, CG, B, 3)
+    cgm = gm.reshape(n_chunks, CG, B)
+    cgi = gi.reshape(n_chunks, CG, B)
 
-    # scatter back to original particle order
-    acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
+    if n_shards > 1:
+        assert n_chunks % n_shards == 0, (n_chunks, n_shards)
+        my_chunks = n_chunks // n_shards
+        first = chunk_range[0]
+        z = jnp.int32(0)
+        cgp = jax.lax.dynamic_slice(cgp, (first, z, z, z),
+                                    (my_chunks, CG, B, 3))
+        cgm = jax.lax.dynamic_slice(cgm, (first, z, z), (my_chunks, CG, B))
+        cgi = jax.lax.dynamic_slice(cgi, (first, z, z), (my_chunks, CG, B))
+
+    acc_c, adrop, fdrop, ndrop, ntot = jax.lax.map(
+        chunk_body, (cgp, cgm, cgi)
+    )
+
+    if n_shards > 1:
+        acc = acc_c.reshape(-1, 3)  # SORTED-order slice; caller assembles
+    else:
+        acc_s = acc_c.reshape(n_tot, 3)[:n]
+        # scatter back to original particle order
+        acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
     stats = {
         # true drops (should always be 0; raise accept_cap if not)
         "accept_dropped": jnp.sum(adrop),

@@ -52,9 +52,18 @@ def _local_rows_vs_sources(pos_rows, row_ids, pos_src, mass_src, src_ids, params
 
 
 def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
-                      tile=1024):
+                      tile=1024, bh_config=None):
     """Build a jitted ``step(state, params, dt=None) -> state`` where every
-    array in ``state`` is sharded along the particle axis."""
+    array in ``state`` is sharded along the particle axis.
+
+    Strategies:
+      * ``allgather`` — O(N^2) force vs all-gathered sources
+      * ``ring``      — O(N^2) force via a ppermute systolic ring
+      * ``bh``        — Barnes-Hut: all-gather positions, build the linear
+        octree (replicated compute, ICI-free), traverse only this chip's
+        slice of particle groups, all-gather force slices.  The N-body
+        analog of sequence parallelism (SURVEY.md §5).
+    """
     integ = get_integrator(integrator)
     axis = PARTICLE_AXIS
     n_dev = mesh.shape[axis]
@@ -99,6 +108,28 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             acc, _, _ = jax.lax.fori_loop(
                 0, n_dev, hop, (acc0, pos, mass_eff)
             )
+        elif strategy == "bh":
+            from nbody_tpu.ops.traversal import BHConfig, traverse_tree
+            from nbody_tpu.ops.tree import build_octree
+
+            cfg = bh_config or BHConfig()
+            pos_all = jax.lax.all_gather(pos, axis, tiled=True)
+            mass_all = jax.lax.all_gather(mass_eff, axis, tiled=True)
+            n_tot = pos_all.shape[0]
+            tree = build_octree(pos_all, mass_all, params.bounds, cfg.max_level)
+            n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
+            first = (my * (n_chunks // n_dev)).astype(jnp.int32)
+            acc_slice, _stats = traverse_tree(
+                tree, params.bounds, params.theta2, params.g, params.g_soft,
+                cfg, n_tot, chunk_range=(first,), n_shards=n_dev,
+            )
+            # assemble: gather slices (sorted order), scatter to original
+            # order, take my rows
+            acc_sorted = jax.lax.all_gather(acc_slice, axis, tiled=True)
+            acc_full = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+            acc = jax.lax.dynamic_slice(
+                acc_full, (my * n_loc, jnp.int32(0)), (n_loc, 3)
+            )
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -135,8 +166,9 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
 
 
 def make_sharded_run(mesh: Mesh, integrator="leapfrog", strategy="allgather",
-                     tile=1024):
-    step = make_sharded_step(mesh, integrator, strategy, tile=tile)
+                     tile=1024, bh_config=None):
+    step = make_sharded_step(mesh, integrator, strategy, tile=tile,
+                             bh_config=bh_config)
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(state, params, n_steps: int, dt=None):
@@ -167,16 +199,27 @@ class ShardedSimulation:
         bounds_width: float = 10.0,
         dtype=jnp.float32,
         capacity: Optional[int] = None,
+        engine_options: Optional[dict] = None,
         **settings,
     ):
-        if engine not in ("brute", "brute-pallas"):
-            raise NotImplementedError(
-                f"sharded engine {engine!r} not yet available (round 1: brute)"
-            )
         self.mesh = make_mesh(n_devices)
         n_dev = self.mesh.shape[PARTICLE_AXIS]
+
+        bh_config = None
+        if engine in ("bh", "bh-deep", "bh-lazy"):
+            from nbody_tpu.ops.traversal import BHConfig
+
+            bh_config = BHConfig(**(engine_options or {}))
+            strategy = "bh"
+            pad_multiple = bh_config.group_size * bh_config.chunk_groups * n_dev
+        elif engine in ("brute", "brute-pallas"):
+            pad_multiple = 128 * n_dev
+        else:
+            raise NotImplementedError(f"sharded engine {engine!r}")
+
         state = ParticleState.create(
-            pos, vel, mass, capacity=capacity, pad_multiple=128 * n_dev, dtype=dtype
+            pos, vel, mass, capacity=capacity, pad_multiple=pad_multiple,
+            dtype=dtype,
         )
         sharding = NamedSharding(self.mesh, P(PARTICLE_AXIS))
         rep = NamedSharding(self.mesh, P())
@@ -195,8 +238,10 @@ class ShardedSimulation:
             ),
             rep,
         )
-        self._step = make_sharded_step(self.mesh, integrator, strategy)
-        self._run = make_sharded_run(self.mesh, integrator, strategy)
+        self._step = make_sharded_step(self.mesh, integrator, strategy,
+                                       bh_config=bh_config)
+        self._run = make_sharded_run(self.mesh, integrator, strategy,
+                                     bh_config=bh_config)
         self._initial = self._state
 
     def init(self):
