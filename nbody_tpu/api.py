@@ -59,8 +59,12 @@ class Simulation:
         **settings,
     ):
         self.engine = get_engine(engine, **(engine_options or {}))
+        # pallas engines want tile-friendly capacities (big power-of-two
+        # j-tiles); others are happy with the 128-lane minimum
+        pad_multiple = 2048 if "pallas" in self.engine.name else 128
         self._state = ParticleState.create(
-            pos, vel, mass, capacity=capacity, dtype=dtype
+            pos, vel, mass, capacity=capacity, pad_multiple=pad_multiple,
+            dtype=dtype,
         )
         self._params = SimParams.create(
             bounds_center=bounds_center,

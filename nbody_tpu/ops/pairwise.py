@@ -137,14 +137,18 @@ register(
 #   a_i    = G * ( sum_j s_ij (p_j - c)  -  (p_i - c) sum_j s_ij )
 #
 # The cross term and the accumulation are matmuls (K=3 and K=TILE_J); the
-# VPU only assembles r^2 and the interaction weight (~9 ops/pair vs ~20 in
-# the direct kernel).  Recentring on the i-tile's first point keeps the
-# norm-trick's cancellation error tiny for close pairs (the center drops out
-# of the final difference exactly).
+# VPU only assembles r^2 and the interaction weight.  NOTE: Mosaic only
+# offers DEFAULT (bf16 — catastrophically wrong for r^2) and HIGHEST (true
+# f32, 6-pass) matmul precision; at HIGHEST this kernel is ~2.5x slower
+# than the direct VPU kernel, so it is kept as a documented alternative
+# rather than the default.
 # ---------------------------------------------------------------------------
 
 
-def _kernel_mxu(scal_ref, pi4, pjT, pj4, out, *, tile_i, tile_j):
+def _kernel_mxu(scal_ref, pi8, pjT, pj8, out, *, tile_i, tile_j):
+    """pi8/pj8: [T, 8] rows (x, y, z, 1, 0, 0, 0, 0); pjT: [8, TJ]
+    (x, y, z, m, 0...).  All contractions are 8-wide so the MXU sees
+    aligned shapes (narrow K=3 / N=4 dots miscompile under Mosaic)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -153,25 +157,40 @@ def _kernel_mxu(scal_ref, pi4, pjT, pj4, out, *, tile_i, tile_j):
         out[:] = jnp.zeros_like(out)
 
     eps2 = scal_ref[0, 0]
-    cx = pi4[0, 0]
-    cy = pi4[0, 1]
-    cz = pi4[0, 2]
+    # recenter on the midpoint of the two tile anchors; with Morton-sorted
+    # inputs both tiles are spatially compact, so |p - c| stays small for
+    # close (strong-force) pairs and the norm-trick cancellation is benign
+    cx = 0.5 * (pi8[0, 0] + pj8[0, 0])
+    cy = 0.5 * (pi8[0, 1] + pj8[0, 1])
+    cz = 0.5 * (pi8[0, 2] + pj8[0, 2])
+    one11 = jnp.ones((1, 1), pi8.dtype)
+    zero15 = jnp.zeros((1, 5), pi8.dtype)
+    # center row padded to 8 wide: (cx, cy, cz, 0, 0, 0, 0, 0) — built 2D
+    # throughout (1D vectors are fragile under Mosaic)
+    c_row = jnp.concatenate(
+        [cx * one11, cy * one11, cz * one11, zero15], axis=1
+    )  # [1, 8]
+    # coords-only selector built from iota (avoids captured array constants)
+    mask_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) < 3
+    ).astype(pi8.dtype)
 
-    # recentred i-tile coordinates [TI, 3]
-    pic = jnp.stack(
-        [pi4[:, 0] - cx, pi4[:, 1] - cy, pi4[:, 2] - cz], axis=1
-    )
-    n2i = jnp.sum(pic * pic, axis=1, keepdims=True)  # [TI, 1]
+    pic8 = (pi8[:] - c_row) * mask_row  # [TI, 8] recentred coords
+    n2i = jnp.sum(pic8 * pic8, axis=1, keepdims=True)  # [TI, 1]
 
-    # recentred j-tile, transposed view [3, TJ] + mass row
-    pjx = pjT[0:1, :] - cx
-    pjy = pjT[1:2, :] - cy
-    pjz = pjT[2:3, :] - cz
+    zero51 = jnp.zeros((5, 1), pi8.dtype)
+    c_col = jnp.concatenate(
+        [cx * one11, cy * one11, cz * one11, zero51], axis=0
+    )  # [8, 1]
+    mask_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) < 3
+    ).astype(pi8.dtype)
+    pjc8 = (pjT[:] - c_col) * mask_col  # [8, TJ]
     mj = pjT[3:4, :]
-    pjc = jnp.concatenate([pjx, pjy, pjz], axis=0)  # [3, TJ]
-    n2j = pjx * pjx + pjy * pjy + pjz * pjz  # [1, TJ]
+    n2j = jnp.sum(pjc8 * pjc8, axis=0, keepdims=True)  # [1, TJ]
 
-    cross = jnp.dot(pic, pjc, preferred_element_type=pi4.dtype)  # MXU [TI,TJ]
+    cross = jnp.dot(pic8, pjc8, preferred_element_type=pi8.dtype,
+                    precision=jax.lax.Precision.HIGHEST)  # [TI, TJ]
     r2 = n2i + n2j - 2.0 * cross + eps2
 
     rows = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
@@ -180,15 +199,11 @@ def _kernel_mxu(scal_ref, pi4, pjT, pj4, out, *, tile_i, tile_j):
     inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
     s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * mj)
 
-    # recentred accumulation [TI, 4]: (sum s*pjc, sum s)
-    pj4c = pj4[:] - jnp.concatenate(
-        [jnp.full((tile_j, 1), cx, pj4.dtype),
-         jnp.full((tile_j, 1), cy, pj4.dtype),
-         jnp.full((tile_j, 1), cz, pj4.dtype),
-         jnp.zeros((tile_j, 1), pj4.dtype)], axis=1
-    )
-    A = jnp.dot(s, pj4c, preferred_element_type=pi4.dtype)  # MXU [TI, 4]
-    out[:, 0:3] += A[:, 0:3] - pic * A[:, 3:4]
+    # recentred accumulation [TI, 8]: cols 0..2 = sum s*pjc, col 3 = sum s
+    pj8c = pj8[:] - c_row * mask_row
+    A = jnp.dot(s, pj8c, preferred_element_type=pi8.dtype,
+                precision=jax.lax.Precision.HIGHEST)  # [TI, 8]
+    out[:] += A - pic8 * A[:, 3:4]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
@@ -205,8 +220,11 @@ def pairwise_acc_pallas_mxu(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
     tile_j = min(tile_j, n)
 
     ones = jnp.ones((n, 1), dtype)
-    p4 = jnp.concatenate([pos, ones], axis=1)  # [N, 4] (x, y, z, 1)
-    pT = jnp.concatenate([pos, mass[:, None]], axis=1).T  # [4, N] (x,y,z,m)
+    zeros4 = jnp.zeros((n, 4), dtype)
+    p8 = jnp.concatenate([pos, ones, zeros4], axis=1)  # [N, 8] (x,y,z,1,0..)
+    pT = jnp.concatenate(
+        [pos, mass[:, None], zeros4], axis=1
+    ).T  # [8, N] (x, y, z, m, 0...)
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
 
     kernel = functools.partial(_kernel_mxu, tile_i=tile_i, tile_j=tile_j)
@@ -215,9 +233,9 @@ def pairwise_acc_pallas_mxu(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
         grid=(n // tile_i, n // tile_j),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
@@ -232,17 +250,34 @@ def pairwise_acc_pallas_mxu(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
             transcendentals=int(n) * int(n),
         ),
         interpret=interpret,
-    )(scal, p4, pT, p4)
+    )(scal, p8, pT, p8)
     return out[:, :3] * g
+
+
+def _force_mxu(pos, mass, params: SimParams):
+    """Morton-sort, run the MXU kernel on sorted data, scatter back.
+
+    Sorting is what makes the norm-trick numerically safe: spatially close
+    pairs land in nearby tiles whose shared anchor midpoint recentres them
+    near the origin."""
+    from nbody_tpu.ops import morton
+    from nbody_tpu.ops.tree import grid_bounds
+
+    gb = grid_bounds(params.bounds, 10)
+    codes = morton.cell_codes(pos, gb, 10)
+    codes = jnp.where(mass > 0, codes, jnp.int32(1 << 30))
+    order = jnp.argsort(codes)
+    acc_s = pairwise_acc_pallas_mxu(
+        pos[order], mass[order], params.g, params.g_soft
+    )
+    return jnp.zeros_like(acc_s).at[order].set(acc_s)
 
 
 register(
     Engine(
         name="brute-pallas-mxu",
-        force=lambda pos, mass, params: pairwise_acc_pallas_mxu(
-            pos, mass, params.g, params.g_soft
-        ),
+        force=_force_mxu,
         description="O(N^2) direct sum, MXU-formulated Pallas kernel "
-        "(norm-trick r^2 + matmul accumulation)",
+        "(Morton-sorted, recentred norm-trick r^2 + matmul accumulation)",
     )
 )
