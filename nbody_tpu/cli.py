@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=0,
                    help="steps per fused scan chunk (0 = all in one scan)")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the JAX_PLATFORMS env var is "
+                   "overridden by this image's TPU plugin)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the timed run to DIR "
                    "(the TPU replacement for the reference's perf-stat "
@@ -62,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
@@ -134,8 +139,11 @@ def main(argv=None) -> dict:
         result.update(energy_initial=e0, energy_final=e1,
                       energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"))
     if args.save:
-        sim.save(args.save)
-        result["checkpoint"] = args.save
+        if hasattr(sim, "save"):
+            sim.save(args.save)
+            result["checkpoint"] = args.save
+        else:
+            print("warning: --save not supported for sharded runs yet")
     if args.json:
         print(json.dumps(result))
     else:

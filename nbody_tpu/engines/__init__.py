@@ -57,6 +57,10 @@ def get_engine(name, **options) -> Engine:
         raise KeyError(f"unknown engine {name!r}; available: {sorted(ENGINES)}") from None
     if callable(entry) and not isinstance(entry, Engine):
         return entry(**options)
+    if options:
+        raise TypeError(
+            f"engine {name!r} takes no build options (got {sorted(options)})"
+        )
     return entry
 
 

@@ -49,6 +49,11 @@ def bench_one(engine: str, n: int, steps: int, repeats: int, devices: int,
     sim.compile(chunk)
     if steps % chunk:
         sim.compile(steps % chunk)
+    # warm execution: the first run on the axon relay pays a one-time
+    # program load that must not land in the timed region
+    sim.run(chunk)
+    sim.block_until_ready()
+    sim.reset()
 
     walls = []
     for _ in range(repeats):
