@@ -72,6 +72,29 @@ class BHConfig:
     subgroups: int = 64  # bbox granularity: acceptance tests against the
     # union of this many per-subgroup boxes, so groups that straddle Morton
     # seams (two far-apart clusters) don't open the whole tree
+    frontier_schedule: tuple = None  # per-level frontier slot counts for
+    # levels start_level+1..max_level; None = auto (grows toward
+    # frontier_cap at the leaf).  Opening is heavily bottom-weighted
+    # (census at N=131k, theta^2=1: p99 expanding parents per level
+    # 10/14/27/66/190 for levels 2-6), so small coarse-level frontiers cut
+    # the gather volume ~2x; overflow degrades to monopole and is counted.
+
+    def schedule(self) -> tuple:
+        if self.frontier_schedule is not None:
+            sched = self.frontier_schedule
+            assert len(sched) == self.max_level - self.start_level
+        else:
+            sched = tuple(
+                min(
+                    1 << (3 * l),
+                    self.frontier_cap,
+                    max(512, self.frontier_cap >> (self.max_level - l)),
+                )
+                for l in range(self.start_level + 1, self.max_level + 1)
+            )
+        # slots must stay multiples of 8 (parent compaction granularity)
+        assert all(s % 8 == 0 for s in sched), sched
+        return sched
 
     @property
     def window(self) -> int:
@@ -170,10 +193,10 @@ def _group_accel(
 
     # initial frontier: all cells of the start level
     n0 = 1 << (3 * cfg.start_level)
-    ids = jnp.concatenate(
-        [jnp.arange(n0, dtype=jnp.int32), jnp.zeros(F - n0, jnp.int32)]
-    )
-    valid = jnp.concatenate([jnp.ones(n0, bool), jnp.zeros(F - n0, bool)])
+    # per-level frontier sizes (bottom-weighted; see BHConfig.schedule)
+    sched = cfg.schedule()
+    ids = jnp.arange(n0, dtype=jnp.int32)
+    valid = jnp.ones(n0, bool)
 
     acc = jnp.zeros_like(gpos)
     a_dropped = jnp.int32(0)
@@ -210,7 +233,8 @@ def _group_accel(
         if l < L:
             # cells that would expand past the parent cap degrade to
             # monopole (graceful fallback, not a dropped force)
-            overflowed = expand & (jnp.cumsum(expand) > F // 8)
+            parent_cap = sched[l - cfg.start_level] // 8
+            overflowed = expand & (jnp.cumsum(expand) > parent_cap)
             f_dropped = f_dropped + jnp.sum(overflowed).astype(jnp.int32)
             accept = accept | overflowed
             expand = expand & ~overflowed
@@ -238,8 +262,10 @@ def _group_accel(
         )
 
         if l < L:
-            parents, pvalid, _ = _compact(ids, expand, F // 8)
-            ids = (parents[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(F)
+            parents, pvalid, _ = _compact(ids, expand, parent_cap)
+            ids = (parents[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(
+                parent_cap * 8
+            )
             valid = jnp.repeat(pvalid, 8)
         else:
             near_ids, near_valid, _ = _compact(ids, expand, cfg.near_cell_cap)
