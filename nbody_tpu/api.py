@@ -24,6 +24,7 @@ Extras the reference keeps ad hoc in the vis layer (SURVEY.md §5):
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 from typing import Optional
 
@@ -214,10 +215,10 @@ class Simulation:
 
     # -- checkpointing (new capability; reference has none, SURVEY.md §5) --
 
-    def save(self, path: str):
+    def _payload(self) -> dict:
         st = jax.device_get(self._state)
         pr = jax.device_get(self._params)
-        payload = {
+        return {
             "state": {f.name: getattr(st, f.name) for f in dataclasses.fields(st)},
             "params": {
                 "g": pr.g,
@@ -229,12 +230,32 @@ class Simulation:
             },
             "engine": self.engine.name,
         }
+
+    def save(self, path: str, format: str = "pickle"):
+        """Checkpoint to ``path``.  format='pickle' writes a single file;
+        format='orbax' writes an orbax-checkpoint directory (sharding-aware,
+        the ecosystem standard for multi-host runs)."""
+        payload = self._payload()
+        if format == "orbax":
+            import orbax.checkpoint as ocp
+
+            payload = dict(payload)
+            payload.pop("engine")  # orbax trees hold arrays, not strings
+            ocp.StandardCheckpointer().save(
+                os.path.abspath(path), payload, force=True
+            )
+            return
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
-    def load(self, path: str):
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+    def load(self, path: str, format: str = "pickle"):
+        if format == "orbax":
+            import orbax.checkpoint as ocp
+
+            payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        else:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
         s = payload["state"]
         self._state = ParticleState(
             pos=jnp.asarray(s["pos"]),

@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody_tpu.api import Simulation
 from nbody_tpu.scenes import self_gravitating_disc
@@ -62,6 +63,20 @@ def test_update_forces():
     _, _, acc, _ = sim.get_points()
     assert np.all(np.isfinite(acc))
     assert np.abs(acc).max() > 0
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    sim = make(100)
+    sim.run(5)
+    path = os.path.join(tmp_path, "ck_orbax")
+    sim.save(path, format="orbax")
+    p0, v0, _, _ = sim.get_points()
+    sim2 = make(100)
+    sim2.load(path, format="orbax")
+    p1, v1, _, _ = sim2.get_points()
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_array_equal(v0, v1)
 
 
 def test_checkpoint_roundtrip(tmp_path):
