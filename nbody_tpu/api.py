@@ -241,9 +241,9 @@ class Simulation:
 
             payload = dict(payload)
             payload.pop("engine")  # orbax trees hold arrays, not strings
-            ocp.StandardCheckpointer().save(
-                os.path.abspath(path), payload, force=True
-            )
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), payload, force=True)
+            ckptr.wait_until_finished()  # saves are async
             return
         with open(path, "wb") as f:
             pickle.dump(payload, f)
