@@ -254,8 +254,11 @@ def _group_accel(
             expand = include
 
         # compact accepted nodes to a small dense slab before evaluation
+        # (never wider than this level's frontier)
         slots = jnp.arange(ids.shape[0], dtype=jnp.int32)
-        asel, avalid, adrop = _compact(slots, accept, cfg.accept_cap)
+        asel, avalid, adrop = _compact(
+            slots, accept, min(cfg.accept_cap, ids.shape[0])
+        )
         a_dropped = a_dropped + adrop.astype(jnp.int32)
         acc = acc + _monopole(
             gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g, g_soft
