@@ -65,7 +65,7 @@ def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out, *, tile_i, tile_j):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
-def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=256, tile_j=2048):
+def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048):
     """pos [N, 3], mass [N] -> acc [N, 3].  N must be a multiple of the tile
     sizes (states are capacity-padded; pad sources with m=0)."""
     n = pos.shape[0]
