@@ -30,18 +30,28 @@ from nbody_tpu.ops.traversal import BHConfig, bh_accel
 def make_bh_engine(name: str = "bh", **options) -> Engine:
     cfg = BHConfig(**options)
 
+    def fit(pos):
+        """Adapt the static config to the state's dimensionality (quadtree
+        for 2D states) — the reference's D-genericity (src/shared.rs:46)."""
+        import dataclasses
+
+        d = pos.shape[1]
+        return cfg if d == cfg.dim else dataclasses.replace(cfg, dim=d)
+
     def force(pos, mass, params):
         acc, _stats = bh_accel(
-            pos, mass, params.bounds, params.theta2, params.g, params.g_soft, cfg
+            pos, mass, params.bounds, params.theta2, params.g, params.g_soft,
+            fit(pos),
         )
         return acc
 
     def aux(pos, mass, params):
         from nbody_tpu.ops.tree import build_octree, tree_boxes
 
-        tree = build_octree(pos, mass, params.bounds, cfg.max_level)
+        c = fit(pos)
+        tree = build_octree(pos, mass, params.bounds, c.max_level, dim=c.dim)
         acc, stats = bh_accel(
-            pos, mass, params.bounds, params.theta2, params.g, params.g_soft, cfg
+            pos, mass, params.bounds, params.theta2, params.g, params.g_soft, c
         )
         return {
             "tree_boxes": tree_boxes(tree, params.bounds),

@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 MAX_LEVEL_3D = 10  # 30-bit codes in uint32
+MAX_LEVEL_2D = 15  # 30-bit codes in uint32
 
 
 def _spread3(v):
@@ -57,27 +58,66 @@ def decode3(code):
     return _squash3(code), _squash3(code >> 1), _squash3(code >> 2)
 
 
+def _spread2(v):
+    """Spread the low 15 bits of v so bit i lands at bit 2i (uint32)."""
+    v = v & jnp.uint32(0x7FFF)
+    v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+    v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+    v = (v | (v << 2)) & jnp.uint32(0x33333333)
+    v = (v | (v << 1)) & jnp.uint32(0x55555555)
+    return v
+
+
+def _squash2(v):
+    v = v & jnp.uint32(0x55555555)
+    v = (v | (v >> 1)) & jnp.uint32(0x33333333)
+    v = (v | (v >> 2)) & jnp.uint32(0x0F0F0F0F)
+    v = (v | (v >> 4)) & jnp.uint32(0x00FF00FF)
+    v = (v | (v >> 8)) & jnp.uint32(0x0000FFFF)
+    return v
+
+
+def encode2(ix, iy):
+    """Interleave two integer grids (each < 2^15) into Morton codes."""
+    return _spread2(ix.astype(jnp.uint32)) | (_spread2(iy.astype(jnp.uint32)) << 1)
+
+
+def decode2(code):
+    code = code.astype(jnp.uint32)
+    return _squash2(code), _squash2(code >> 1)
+
+
 def quantize(pos, bounds, level):
-    """Positions -> integer grid coords at ``level`` (grid 2^level per axis),
+    """Positions [..., D] -> D integer grids at ``level`` (2^level per axis),
     clamped into the box (out-of-box/dead particles land on the boundary
     cell; callers must rely on their zero mass, not their cell)."""
     n = 1 << level
-    u = bounds.normalize(pos)  # [N, 3] in [0,1) for in-box points
+    u = bounds.normalize(pos)  # [N, D] in [0,1) for in-box points
     i = jnp.clip((u * n).astype(jnp.int32), 0, n - 1)
-    return i[..., 0], i[..., 1], i[..., 2]
+    return tuple(i[..., d] for d in range(pos.shape[-1]))
 
 
 def cell_codes(pos, bounds, level):
-    """Positions -> level-``level`` Morton cell ids, int32 in [0, 8^level)."""
-    ix, iy, iz = quantize(pos, bounds, level)
-    return encode3(ix, iy, iz).astype(jnp.int32)
+    """Positions [..., D] -> level-``level`` Morton cell ids, int32 in
+    [0, (2^D)^level)."""
+    axes = quantize(pos, bounds, level)
+    if len(axes) == 3:
+        return encode3(*axes).astype(jnp.int32)
+    if len(axes) == 2:
+        return encode2(*axes).astype(jnp.int32)
+    raise ValueError(f"unsupported dimension {len(axes)}")
 
 
-def cell_centers_from_codes(codes, bounds, level):
-    """Cell ids (level ``level``) -> geometric centers [N, 3]."""
-    ix, iy, iz = decode3(codes.astype(jnp.uint32))
+def cell_centers_from_codes(codes, bounds, level, dim: int = 3):
+    """Cell ids (level ``level``) -> geometric centers [N, dim]."""
+    if dim == 3:
+        axes = decode3(codes.astype(jnp.uint32))
+    elif dim == 2:
+        axes = decode2(codes.astype(jnp.uint32))
+    else:
+        raise ValueError(f"unsupported dimension {dim}")
     n = 1 << level
     w = bounds.width / n
     lo = bounds.min
     f = lambda i, d: lo[d] + (i.astype(w.dtype) + 0.5) * w
-    return jnp.stack([f(ix, 0), f(iy, 1), f(iz, 2)], axis=-1)
+    return jnp.stack([f(a, d) for d, a in enumerate(axes)], axis=-1)

@@ -56,6 +56,8 @@ class BHConfig:
     # Defaults tuned on TPU v5e (2026-08): large groups shift work from
     # irregular gathers/scatters (slow on TPU) into dense MXU/VPU evals.
     max_level: int = 7  # leaf grid is 2^max_level per axis
+    dim: int = 3  # 3 = octree, 2 = quadtree (the reference is generic over
+    # D the same way, src/shared.rs:46-59)
     group_size: int = 2048  # particles sharing one traversal
     window_pad: int = 2048  # sorted-neighbor window extends this far each way
     frontier_cap: int = 2048  # frontier slots per level (children included)
@@ -84,16 +86,17 @@ class BHConfig:
             sched = self.frontier_schedule
             assert len(sched) == self.max_level - self.start_level
         else:
+            branch = 1 << self.dim
             sched = tuple(
                 min(
-                    1 << (3 * l),
+                    branch ** l,
                     self.frontier_cap,
                     max(512, self.frontier_cap >> (self.max_level - l)),
                 )
                 for l in range(self.start_level + 1, self.max_level + 1)
             )
-        # slots must stay multiples of 8 (parent compaction granularity)
-        assert all(s % 8 == 0 for s in sched), sched
+        # slots must stay multiples of the branch factor (parent compaction)
+        assert all(s % (1 << self.dim) == 0 for s in sched), sched
         return sched
 
     @property
@@ -167,7 +170,8 @@ def _group_accel(
     F = cfg.frontier_cap
     L = cfg.max_level
     W = window
-    n_leaf = 1 << (3 * L)
+    branch = 1 << cfg.dim
+    n_leaf = branch ** L
 
     # per-subgroup bounding boxes over alive members (union covering: tight
     # even when the group straddles a Morton seam into far-apart clusters)
@@ -192,7 +196,7 @@ def _group_accel(
     wend = wstart + W
 
     # initial frontier: all cells of the start level
-    n0 = 1 << (3 * cfg.start_level)
+    n0 = branch ** cfg.start_level
     # per-level frontier sizes (bottom-weighted; see BHConfig.schedule)
     sched = cfg.schedule()
     ids = jnp.arange(n0, dtype=jnp.int32)
@@ -233,7 +237,7 @@ def _group_accel(
         if l < L:
             # cells that would expand past the parent cap degrade to
             # monopole (graceful fallback, not a dropped force)
-            parent_cap = sched[l - cfg.start_level] // 8
+            parent_cap = sched[l - cfg.start_level] // branch
             overflowed = expand & (jnp.cumsum(expand) > parent_cap)
             f_dropped = f_dropped + jnp.sum(overflowed).astype(jnp.int32)
             accept = accept | overflowed
@@ -266,10 +270,11 @@ def _group_accel(
 
         if l < L:
             parents, pvalid, _ = _compact(ids, expand, parent_cap)
-            ids = (parents[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)).reshape(
-                parent_cap * 8
-            )
-            valid = jnp.repeat(pvalid, 8)
+            ids = (
+                parents[:, None] * branch
+                + jnp.arange(branch, dtype=jnp.int32)
+            ).reshape(parent_cap * branch)
+            valid = jnp.repeat(pvalid, branch)
         else:
             near_ids, near_valid, _ = _compact(ids, expand, cfg.near_cell_cap)
 
@@ -383,7 +388,7 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     if n_shards > 1:
         acc = acc_c.reshape(-1, 3)  # SORTED-order slice; caller assembles
     else:
-        acc_s = acc_c.reshape(n_tot, 3)[:n]
+        acc_s = acc_c.reshape(n_tot, 3)[:n, : cfg.dim]
         # scatter back to original particle order
         acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
     stats = {
@@ -404,7 +409,7 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
 
     pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
     N must be a multiple of 128 (guaranteed by ParticleState.create)."""
-    tree = build_octree(pos, mass, bounds, cfg.max_level)
+    tree = build_octree(pos, mass, bounds, cfg.max_level, dim=cfg.dim)
     return traverse_tree(tree, bounds, theta2, g, g_soft, cfg, pos.shape[0])
 
 
@@ -430,13 +435,14 @@ def bh_accel_lazy(
 
     L = cfg.max_level
     gb = grid_bounds(bounds, L)
-    pos_s = pos[tree.order]
+    pos_s = pos[tree.order][:, :cfg.dim]
     mass_s = mass[tree.order]
     alive_s = mass_s > 0
 
     # how far has each particle strayed from its frozen cell center?
+    n_leaf = (1 << cfg.dim) ** L
     centers = morton.cell_centers_from_codes(
-        jnp.minimum(tree.code_s, (1 << (3 * L)) - 1), gb, L
+        jnp.minimum(tree.code_s, n_leaf - 1), gb, L, dim=cfg.dim
     )
     cell_w = gb.width / (1 << L)
     moved = (
@@ -446,7 +452,7 @@ def bh_accel_lazy(
     frac = jnp.sum(moved & alive_s) / n_alive
 
     def rebuild(_):
-        return build_octree(pos, mass, bounds, L)
+        return build_octree(pos, mass, bounds, L, dim=cfg.dim)
 
     def refresh(t):
         return refresh_octree(t, pos, mass)

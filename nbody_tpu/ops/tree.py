@@ -68,6 +68,15 @@ class LinearOctree:
     def max_level(self) -> int:
         return len(self.level_mass) - 1
 
+    @property
+    def branch(self) -> int:
+        """children per cell: 8 for octrees (3D), 4 for quadtrees (2D)."""
+        return self.level_mass[1].shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.branch.bit_length() - 1
+
 
 def grid_bounds(bounds, max_level: int):
     """Tree grid = domain box shifted by half a leaf cell in every axis.
@@ -86,19 +95,29 @@ def grid_bounds(bounds, max_level: int):
     return dataclasses.replace(bounds, center=bounds.center + cell * 0.5)
 
 
-@partial(jax.jit, static_argnames=("max_level",))
-def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
-    """pos [N,3], mass [N] (dead particles must already have mass 0).
+@partial(jax.jit, static_argnames=("max_level", "dim"))
+def build_octree(pos, mass, bounds, max_level: int = 7,
+                 dim: int = 3) -> LinearOctree:
+    """pos [N,D], mass [N] (dead particles must already have mass 0).
     ``bounds`` is the domain box; the tree grid is the half-cell-shifted
-    version (see grid_bounds)."""
+    version (see grid_bounds).
+
+    dim=2 builds a QUADTREE (2D Morton codes, 4 children per cell); the
+    stored coordinate arrays stay 3-wide with z = 0 so the traversal is
+    dimension-agnostic (the reference is generic over D the same way,
+    src/shared.rs:46-59)."""
     n = pos.shape[0]
-    n_leaf = 1 << (3 * max_level)
+    branch = 1 << dim
+    n_leaf = branch ** max_level
     gb = grid_bounds(bounds, max_level)
 
-    codes = morton.cell_codes(pos, gb, max_level)  # int32 in [0, 8^L)
+    codes = morton.cell_codes(pos[:, :dim], gb, max_level)
     # dead particles (mass 0) get the sentinel so they cluster at the sorted
     # tail and never match a cell range during near-field gathering
     codes = jnp.where(mass > 0, codes, jnp.int32(n_leaf))
+
+    if dim == 2:
+        pos = jnp.concatenate([pos, jnp.zeros((n, 1), pos.dtype)], axis=1)
 
     order = jnp.argsort(codes)
     code_s = codes[order]
@@ -122,8 +141,8 @@ def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
     level_mass = [leaf_mass]
     level_mpos = [leaf_mpos]
     for _ in range(max_level):
-        level_mass.append(level_mass[-1].reshape(-1, 8).sum(axis=1))
-        level_mpos.append(level_mpos[-1].reshape(-1, 8, 3).sum(axis=1))
+        level_mass.append(level_mass[-1].reshape(-1, branch).sum(axis=1))
+        level_mpos.append(level_mpos[-1].reshape(-1, branch, 3).sum(axis=1))
     level_mass.reverse()
     level_mpos.reverse()
 
@@ -131,13 +150,13 @@ def build_octree(pos, mass, bounds, max_level: int = 7) -> LinearOctree:
     # cumsum per level — no gathers)
     level_counts = [leaf_counts]
     for _ in range(max_level):
-        level_counts.append(level_counts[-1].reshape(-1, 8).sum(axis=1))
+        level_counts.append(level_counts[-1].reshape(-1, branch).sum(axis=1))
     level_counts.reverse()
 
     ftype = pos.dtype  # counts < 2^24 are exact in f32; f64 under x64
     level_table = []
     for l in range(max_level + 1):
-        c = 1 << (3 * l)
+        c = branch ** l
         cnt = level_counts[l]
         ends = jnp.cumsum(cnt).astype(ftype)
         starts = ends - cnt.astype(ftype)
@@ -180,9 +199,14 @@ def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
     Skips the argsort (the expensive part of a rebuild); counts/ranges are
     reused (dead particles inside stale ranges have zero mass and are
     harmless)."""
+    if pos.shape[1] < tree.pos_s.shape[1]:  # 2D state, 3-wide tree coords
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((pos.shape[0], 1), pos.dtype)], axis=1
+        )
     pos_s = pos[tree.order]
     mass_s = mass[tree.order]
     n_leaf = tree.level_mass[-1].shape[0]
+    branch = tree.branch
     seg = partial(
         jax.ops.segment_sum,
         segment_ids=tree.code_s,
@@ -195,8 +219,8 @@ def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
     level_mass = [leaf_mass]
     level_mpos = [leaf_mpos]
     for _ in range(tree.max_level):
-        level_mass.append(level_mass[-1].reshape(-1, 8).sum(axis=1))
-        level_mpos.append(level_mpos[-1].reshape(-1, 8, 3).sum(axis=1))
+        level_mass.append(level_mass[-1].reshape(-1, branch).sum(axis=1))
+        level_mpos.append(level_mpos[-1].reshape(-1, branch, 3).sum(axis=1))
     level_mass.reverse()
     level_mpos.reverse()
 
@@ -229,7 +253,7 @@ def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
 def cell_ranges(tree: LinearOctree, cell_ids, level: int):
     """Sorted-particle ranges [start, end) for level-``level`` cell ids —
     O(1) gathers from the cumulative leaf counts (no binary search)."""
-    shift = 3 * (tree.max_level - level)
+    shift = tree.dim * (tree.max_level - level)
     start = tree.leaf_starts[cell_ids << shift]
     end = tree.leaf_starts[(cell_ids + 1) << shift]
     return start, end
@@ -257,7 +281,7 @@ def tree_boxes(tree: LinearOctree, bounds, max_nodes_per_level: int = 4096):
         occ = np.nonzero(np.asarray(m) > 0)[0]
         occ = occ[:max_nodes_per_level]
         ids = jnp.asarray(occ.astype(np.int32))
-        centers = morton.cell_centers_from_codes(ids, gb, l)
+        centers = morton.cell_centers_from_codes(ids, gb, l, dim=tree.dim)
         half = float(gb.width) / (1 << l) / 2.0
         c = np.asarray(centers)
         out.append((c - half, c + half, len(occ)))
