@@ -15,9 +15,7 @@ which is what makes negative-``dt`` rewind work (reference src/vis.rs:236-252).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Tuple
-
-import jax
+from typing import Callable
 
 
 @dataclass(frozen=True)

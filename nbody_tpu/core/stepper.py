@@ -22,7 +22,6 @@ A force engine is a function ``force(pos, mass_eff, params) -> acc`` where
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable
 

@@ -13,7 +13,7 @@ visualizer).  All engines share the step loop in ``core/stepper.py``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 ENGINES: dict = {}

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 import threading
 import time
 from collections import deque
