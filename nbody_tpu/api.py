@@ -59,6 +59,13 @@ class Simulation:
         engine_options: Optional[dict] = None,
         **settings,
     ):
+        if engine == "auto":
+            # direct sum wins through ~130k on one chip (measured crossover,
+            # results/combined_nbody_tpu.csv); the tree wins beyond
+            n = len(mass)
+            engine = "brute-pallas" if n <= 131072 else "bh"
+            if jax.default_backend() == "cpu" and n <= 131072:
+                engine = "brute"
         self.engine = get_engine(engine, **(engine_options or {}))
         # pallas engines want tile-friendly capacities (big power-of-two
         # j-tiles); others are happy with the 128-lane minimum

@@ -30,8 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disc particle count (reference -n, src/main.rs:37-38)")
     p.add_argument("--steps", type=int, default=1000,
                    help="number of steps (reference hardcodes 1000, src/main.rs:117)")
-    p.add_argument("--engine", default="brute", choices=sorted(ENGINES),
-                   help="force engine (reference picks by editing src/main.rs:91-101)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto"] + sorted(ENGINES),
+                   help="force engine; 'auto' picks direct-sum vs tree by N "
+                   "(the reference picks by editing src/main.rs:91-101)")
     p.add_argument("--scene", default="disc", choices=sorted(SCENES))
     p.add_argument("--integrator", default="leapfrog")
     p.add_argument("--dt", type=float, default=3e-2,
@@ -72,6 +74,11 @@ def main(argv=None) -> dict:
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     pos, vel, mass = SCENES[args.scene](args.num_points, seed=args.seed)
+
+    if args.engine == "auto":
+        args.engine = "brute-pallas" if len(mass) <= 131072 else "bh"
+        if jax.default_backend() == "cpu" and len(mass) <= 131072:
+            args.engine = "brute"
 
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation
