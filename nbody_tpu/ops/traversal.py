@@ -167,7 +167,6 @@ def _group_accel(
     gpos [B,3], gmass [B], gidx [B] (global sorted indices).
     Returns (acc [B,3], stats...)."""
     B = cfg.group_size
-    F = cfg.frontier_cap
     L = cfg.max_level
     W = window
     branch = 1 << cfg.dim
