@@ -62,20 +62,35 @@ def main():
 
     steps_per_s = STEPS * reps / elapsed
     pairs_per_s = steps_per_s * float(N) * float(N)
-    print(
-        json.dumps(
-            {
-                "metric": "brute_force_steps_per_s_n64k",
-                "value": round(steps_per_s, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / RUST_BF_64K_STEPS_PER_S, 1),
-                "pairs_per_s": f"{pairs_per_s:.3e}",
-                "n": N,
-                "engine": engine.name,
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    result = {
+        "metric": "brute_force_steps_per_s_n64k",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / RUST_BF_64K_STEPS_PER_S, 1),
+        "pairs_per_s": f"{pairs_per_s:.3e}",
+        "n": N,
+        "engine": engine.name,
+        "backend": jax.default_backend(),
+    }
+
+    # secondary: the BASELINE.json north-star (Barnes-Hut steps/s at N=1M)
+    try:
+        n_bh = 1 << 20
+        pos, vel, mass = self_gravitating_disc(n_bh - 1, seed=0)
+        state = ParticleState.create(pos, vel, mass, capacity=n_bh,
+                                     dtype=jnp.float32)
+        bh = get_engine("bh")
+        run_bh = make_run(bh.force, "leapfrog")
+        out = run_bh(state, params, 10, None)
+        float(out.time)  # compile + one-time program load, outside timing
+        t0 = time.perf_counter()
+        out = run_bh(out, params, 10, None)
+        float(out.time)
+        result["bh_n1m_steps_per_s"] = round(10 / (time.perf_counter() - t0), 3)
+    except Exception as e:  # never fail the primary metric
+        result["bh_n1m_steps_per_s"] = f"error: {type(e).__name__}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
