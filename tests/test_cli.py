@@ -54,6 +54,20 @@ def test_save_checkpoint(tmp_path):
     assert out["checkpoint"] == path
 
 
+def test_sharded_devices_flag():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu", "--cpu", "-n", "300",
+         "--steps", "5", "--engine", "brute", "--devices", "8", "--json"],
+        capture_output=True, text=True, cwd=ROOT, timeout=400, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_alive"] == 301
+
+
 def test_scene_selection():
     r = run_cli("-n", "300", "--steps", "5", "--engine", "brute",
                 "--scene", "plummer", "--box-width", "40", "--json")
