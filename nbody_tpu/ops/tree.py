@@ -95,6 +95,56 @@ def grid_bounds(bounds, max_level: int):
     return dataclasses.replace(bounds, center=bounds.center + cell * 0.5)
 
 
+def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
+                    branch: int, ftype):
+    """Aggregate leaf-cell statistics up the dense pyramid and pack the
+    per-level node tables (shared by the single-chip and sharded builds).
+
+    Returns (level_mass, level_mpos, level_table, leaf_starts)."""
+    leaf_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_counts).astype(jnp.int32)]
+    )
+
+    level_mass = [leaf_mass]
+    level_mpos = [leaf_mpos]
+    for _ in range(max_level):
+        level_mass.append(level_mass[-1].reshape(-1, branch).sum(axis=1))
+        level_mpos.append(level_mpos[-1].reshape(-1, branch, 3).sum(axis=1))
+    level_mass.reverse()
+    level_mpos.reverse()
+
+    # per-level particle ranges from the counts pyramid (reshape-sums + one
+    # cumsum per level — no gathers)
+    level_counts = [leaf_counts]
+    for _ in range(max_level):
+        level_counts.append(level_counts[-1].reshape(-1, branch).sum(axis=1))
+    level_counts.reverse()
+
+    level_table = []
+    for l in range(max_level + 1):
+        c = branch ** l
+        cnt = level_counts[l]
+        ends = jnp.cumsum(cnt).astype(ftype)
+        starts = ends - cnt.astype(ftype)
+        zero = jnp.zeros((c,), ftype)
+        level_table.append(
+            jnp.stack(
+                [
+                    level_mass[l].astype(ftype),
+                    level_mpos[l][:, 0].astype(ftype),
+                    level_mpos[l][:, 1].astype(ftype),
+                    level_mpos[l][:, 2].astype(ftype),
+                    starts,
+                    ends,
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )
+        )
+    return tuple(level_mass), tuple(level_mpos), tuple(level_table), leaf_starts
+
+
 @partial(jax.jit, static_argnames=("max_level", "dim"))
 def build_octree(pos, mass, bounds, max_level: int = 7,
                  dim: int = 3) -> LinearOctree:
@@ -134,48 +184,11 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
     leaf_mass = seg(mass_s)
     leaf_mpos = seg(pos_s * mass_s[:, None])
     leaf_counts = seg(jnp.ones_like(code_s))  # dead (sentinel) codes drop out
-    leaf_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_counts).astype(jnp.int32)]
+
+    # counts < 2^24 are exact in f32; f64 under x64
+    level_mass, level_mpos, level_table, leaf_starts = _pyramid_tables(
+        leaf_mass, leaf_mpos, leaf_counts, max_level, branch, pos.dtype
     )
-
-    level_mass = [leaf_mass]
-    level_mpos = [leaf_mpos]
-    for _ in range(max_level):
-        level_mass.append(level_mass[-1].reshape(-1, branch).sum(axis=1))
-        level_mpos.append(level_mpos[-1].reshape(-1, branch, 3).sum(axis=1))
-    level_mass.reverse()
-    level_mpos.reverse()
-
-    # per-level particle ranges from the counts pyramid (reshape-sums + one
-    # cumsum per level — no gathers)
-    level_counts = [leaf_counts]
-    for _ in range(max_level):
-        level_counts.append(level_counts[-1].reshape(-1, branch).sum(axis=1))
-    level_counts.reverse()
-
-    ftype = pos.dtype  # counts < 2^24 are exact in f32; f64 under x64
-    level_table = []
-    for l in range(max_level + 1):
-        c = branch ** l
-        cnt = level_counts[l]
-        ends = jnp.cumsum(cnt).astype(ftype)
-        starts = ends - cnt.astype(ftype)
-        zero = jnp.zeros((c,), ftype)
-        level_table.append(
-            jnp.stack(
-                [
-                    level_mass[l].astype(ftype),
-                    level_mpos[l][:, 0].astype(ftype),
-                    level_mpos[l][:, 1].astype(ftype),
-                    level_mpos[l][:, 2].astype(ftype),
-                    starts,
-                    ends,
-                    zero,
-                    zero,
-                ],
-                axis=1,
-            )
-        )
 
     return LinearOctree(
         pos_s=pos_s,
@@ -183,9 +196,94 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
         code_s=code_s,
         order=order,
         leaf_starts=leaf_starts,
-        level_mass=tuple(level_mass),
-        level_mpos=tuple(level_mpos),
-        level_table=tuple(level_table),
+        level_mass=level_mass,
+        level_mpos=level_mpos,
+        level_table=level_table,
+    )
+
+
+def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
+                         max_level: int, axis: str,
+                         dim: int = 3) -> LinearOctree:
+    """Distributed octree build for use INSIDE ``shard_map``: the heavy
+    per-particle stages (Morton encoding, the sorted-order gather, the leaf
+    segment-sums) run on each chip's 1/n_dev slice; collectives assemble the
+    replicated result every chip's traversal needs.
+
+    The reference's analog is the parallel per-octant local-arena build +
+    merge (src/llm/barnes_hut.rs:617-677, rayon) — here the "merge" is one
+    ``psum`` of partial leaf statistics plus ``all_gather`` of the sorted
+    particle slices.
+
+    ``pos_loc/mass_loc`` are this chip's shard; ``pos_all/mass_all`` the
+    already-all-gathered full arrays (the traversal needs them anyway, so
+    the build reuses them instead of gathering twice).  Dead particles must
+    already have mass 0.  Produces bit-identical structure to
+    ``build_octree(pos_all, mass_all, ...)`` (same stable sort), with leaf
+    statistics differing only by partial-sum association order.
+    """
+    n_loc = pos_loc.shape[0]
+    n_tot = pos_all.shape[0]
+    branch = 1 << dim
+    n_leaf = branch ** max_level
+    gb = grid_bounds(bounds, max_level)
+    my = jax.lax.axis_index(axis)
+
+    # 1. Morton-encode the LOCAL shard, then share the codes (int32 — the
+    #    cheapest per-step collective in the build).
+    codes_loc = morton.cell_codes(pos_loc[:, :dim], gb, max_level)
+    codes_loc = jnp.where(mass_loc > 0, codes_loc, jnp.int32(n_leaf))
+    codes = jax.lax.all_gather(codes_loc, axis, tiled=True)
+
+    # 2. Global sort (replicated — XLA's sort is already parallel within a
+    #    chip and N int32 keys are cheap; a distributed merge sort would be
+    #    collective-bound here).  One stable lax.sort yields codes + order,
+    #    identical to the single-chip ``jnp.argsort`` permutation.
+    code_s, order = jax.lax.sort(
+        (codes, jnp.arange(n_tot, dtype=jnp.int32)), num_keys=1
+    )
+
+    if dim == 2:
+        pos_all = jnp.concatenate(
+            [pos_all, jnp.zeros((n_tot, 1), pos_all.dtype)], axis=1
+        )
+
+    # 3. The sorted-order gather — the dominant irregular op of the build —
+    #    sharded: each chip gathers only its slice of the permutation.
+    order_my = jax.lax.dynamic_slice(order, (my * n_loc,), (n_loc,))
+    pos_s_my = pos_all[order_my]
+    mass_s_my = mass_all[order_my]
+    pos_s = jax.lax.all_gather(pos_s_my, axis, tiled=True)
+    mass_s = jax.lax.all_gather(mass_s_my, axis, tiled=True)
+
+    # 4. Leaf statistics: per-chip segment-sum over its contiguous sorted
+    #    slice (still sorted, so the fast path applies), merged with one psum.
+    code_s_my = jax.lax.dynamic_slice(code_s, (my * n_loc,), (n_loc,))
+    seg = partial(
+        jax.ops.segment_sum,
+        segment_ids=code_s_my,
+        num_segments=n_leaf,
+        indices_are_sorted=True,
+    )
+    leaf_mass = jax.lax.psum(seg(mass_s_my), axis)
+    leaf_mpos = jax.lax.psum(seg(pos_s_my * mass_s_my[:, None]), axis)
+    leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
+
+    # 5. Pyramid + packed tables: dense reshape-sums over 8^L cells —
+    #    bandwidth-trivial, replicated.
+    level_mass, level_mpos, level_table, leaf_starts = _pyramid_tables(
+        leaf_mass, leaf_mpos, leaf_counts, max_level, branch, pos_all.dtype
+    )
+
+    return LinearOctree(
+        pos_s=pos_s,
+        mass_s=mass_s,
+        code_s=code_s,
+        order=order,
+        leaf_starts=leaf_starts,
+        level_mass=level_mass,
+        level_mpos=level_mpos,
+        level_table=level_table,
     )
 
 

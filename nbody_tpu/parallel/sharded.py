@@ -59,10 +59,11 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
     Strategies:
       * ``allgather`` — O(N^2) force vs all-gathered sources
       * ``ring``      — O(N^2) force via a ppermute systolic ring
-      * ``bh``        — Barnes-Hut: all-gather positions, build the linear
-        octree (replicated compute, ICI-free), traverse only this chip's
-        slice of particle groups, all-gather force slices.  The N-body
-        analog of sequence parallelism (SURVEY.md §5).
+      * ``bh``        — Barnes-Hut: all-gather positions, DISTRIBUTED tree
+        build (per-chip Morton encode / sorted gather / leaf segment-sum,
+        merged by psum — ops/tree.py:build_octree_sharded), traverse only
+        this chip's slice of particle groups, all-gather force slices.
+        The N-body analog of sequence parallelism (SURVEY.md §5).
     """
     integ = get_integrator(integrator)
     axis = PARTICLE_AXIS
@@ -110,13 +111,18 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             )
         elif strategy == "bh":
             from nbody_tpu.ops.traversal import BHConfig, traverse_tree
-            from nbody_tpu.ops.tree import build_octree
+            from nbody_tpu.ops.tree import build_octree_sharded
 
             cfg = bh_config or BHConfig()
             pos_all = jax.lax.all_gather(pos, axis, tiled=True)
             mass_all = jax.lax.all_gather(mass_eff, axis, tiled=True)
             n_tot = pos_all.shape[0]
-            tree = build_octree(pos_all, mass_all, params.bounds, cfg.max_level)
+            # distributed build: per-chip Morton encode + sorted gather +
+            # leaf segment-sum, merged with psum/all_gather (tree.py)
+            tree = build_octree_sharded(
+                pos, mass_eff, pos_all, mass_all, params.bounds,
+                cfg.max_level, axis,
+            )
             n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
             first = (my * (n_chunks // n_dev)).astype(jnp.int32)
             acc_slice, _stats = traverse_tree(

@@ -61,6 +61,58 @@ def test_sharded_bh_matches_single():
     np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
 
 
+def test_sharded_tree_build_matches_single():
+    """build_octree_sharded (inside shard_map) must reproduce build_octree:
+    identical sort permutation / ranges, leaf stats equal up to psum order."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.ops.tree import build_octree, build_octree_sharded
+    from nbody_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh
+
+    pos, vel, mass = self_gravitating_disc(500, seed=2)
+    state = ParticleState.create(pos, vel, mass, capacity=1024,
+                                 dtype=jnp.float64)
+    bounds = SimParams.create(bounds_width=10.0, dtype=jnp.float64).bounds
+    mass_eff = state.effective_mass()
+    level = 4
+
+    ref = jax.jit(
+        lambda p, m: build_octree(p, m, bounds, level)
+    )(state.pos, mass_eff)
+
+    mesh = make_mesh(8)
+    axis = PARTICLE_AXIS
+
+    def local_build(pos_loc, mass_loc):
+        pos_all = jax.lax.all_gather(pos_loc, axis, tiled=True)
+        mass_all = jax.lax.all_gather(mass_loc, axis, tiled=True)
+        return build_octree_sharded(
+            pos_loc, mass_loc, pos_all, mass_all, bounds, level, axis
+        )
+
+    got = jax.jit(
+        jax.shard_map(
+            local_build, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(), check_vma=False,
+        )
+    )(state.pos, mass_eff)
+
+    np.testing.assert_array_equal(np.asarray(got.order), np.asarray(ref.order))
+    np.testing.assert_array_equal(np.asarray(got.code_s), np.asarray(ref.code_s))
+    np.testing.assert_array_equal(
+        np.asarray(got.leaf_starts), np.asarray(ref.leaf_starts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.pos_s), np.asarray(ref.pos_s), rtol=0, atol=0
+    )
+    for l in range(level + 1):
+        np.testing.assert_allclose(
+            np.asarray(got.level_table[l]), np.asarray(ref.level_table[l]),
+            rtol=1e-12, atol=1e-14,
+        )
+
+
 def test_sharded_settings_and_reset():
     pos, vel, mass = self_gravitating_disc(300, seed=1)
     sim = ShardedSimulation(pos, vel, mass, engine="brute", n_devices=8,
