@@ -55,10 +55,12 @@ class BHConfig:
 
     # Defaults tuned on TPU v5e (2026-08): large groups shift work from
     # irregular gathers/scatters (slow on TPU) into dense MXU/VPU evals.
+    # Sweep (scripts/tune_bh_1m.py): group 4096 beats 2048 by ~11% at N=1M
+    # (795ms vs 882ms) and ~6% at N=131k; 8192 regresses (VMEM pressure).
     max_level: int = 7  # leaf grid is 2^max_level per axis
     dim: int = 3  # 3 = octree, 2 = quadtree (the reference is generic over
     # D the same way, src/shared.rs:46-59)
-    group_size: int = 2048  # particles sharing one traversal
+    group_size: int = 4096  # particles sharing one traversal
     window_pad: int = 2048  # sorted-neighbor window extends this far each way
     frontier_cap: int = 2048  # frontier slots per level (children included)
     accept_cap: int = 2048  # accepted-node slots evaluated per level
@@ -70,7 +72,7 @@ class BHConfig:
     # with a wide window.  Overflow is reported in stats — treat nonzero
     # drops as a mis-sized config.
     start_level: int = 2  # dense start: all 8^start_level cells
-    chunk_groups: int = 2  # groups processed per lax.map iteration
+    chunk_groups: int = 1  # groups processed per lax.map iteration
     subgroups: int = 64  # bbox granularity: acceptance tests against the
     # union of this many per-subgroup boxes, so groups that straddle Morton
     # seams (two far-apart clusters) don't open the whole tree

@@ -33,6 +33,16 @@ CONFIGS = {
     "g4096_s128_cg1": dict(group_size=4096, subgroups=128, chunk_groups=1),
     "near16k": dict(near_particle_cap=16384),
     "base": dict(),
+    # round 2: scale groups further / window sizing / mid-N regression check
+    "g8192_s128_cg1": dict(group_size=8192, subgroups=128, chunk_groups=1),
+    "g4096_p1024": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                        window_pad=1024),
+    "g4096_p4096": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                        window_pad=4096),
+    "g2048_cg1": dict(chunk_groups=1),
+    "g4096_s64_cg1_n131k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                                n=131072),
+    "base_n131k": dict(n=131072),
 }
 
 
@@ -53,8 +63,17 @@ def main():
                 except Exception:
                     pass
 
-    pos, vel, mass = self_gravitating_disc(N - 1, seed=0)
-    state = ParticleState.create(pos, vel, mass, capacity=N, dtype=jnp.float32)
+    states = {}
+
+    def get_state(n):
+        if n not in states:
+            pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+            states[n] = ParticleState.create(
+                pos, vel, mass, capacity=n, dtype=jnp.float32
+            )
+        return states[n]
+
+    state = get_state(N)
     params = SimParams.create(
         dt=3e-2, g_soft=0.02, theta2=1.0, bounds_width=10.0, dtype=jnp.float32
     )
@@ -72,6 +91,9 @@ def main():
     for name, opts in CONFIGS.items():
         if name in done:
             continue
+        opts = dict(opts)
+        n_cfg = opts.pop("n", N)
+        state = get_state(n_cfg)
         cfg = BHConfig(max_level=7, **opts)
         fn = jax.jit(
             lambda p, m, cfg=cfg: bh_accel(
@@ -89,6 +111,7 @@ def main():
         ms = (time.perf_counter() - t0) / REPS * 1e3
         emit({
             "name": name,
+            "n": n_cfg,
             "ms": ms,
             "steps_per_s": 1e3 / ms,
             "compile_s": round(compile_s, 1),
