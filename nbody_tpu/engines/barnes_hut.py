@@ -29,14 +29,21 @@ from nbody_tpu.ops.traversal import BHConfig, bh_accel
 
 def make_bh_engine(name: str = "bh", **options) -> Engine:
     cfg = BHConfig(**options)
+    # group sizing left to the engine -> pick the sweep-tuned preset for the
+    # state's capacity at trace time (bigger groups win as N grows)
+    auto_group = not any(
+        k in options for k in ("group_size", "subgroups", "chunk_groups")
+    )
 
     def fit(pos):
-        """Adapt the static config to the state's dimensionality (quadtree
-        for 2D states) — the reference's D-genericity (src/shared.rs:46)."""
+        """Adapt the static config to the state's capacity (size-adaptive
+        group preset) and dimensionality (quadtree for 2D states) — the
+        reference is D-generic the same way (src/shared.rs:46)."""
         import dataclasses
 
+        c = BHConfig.auto_for(pos.shape[0], **options) if auto_group else cfg
         d = pos.shape[1]
-        return cfg if d == cfg.dim else dataclasses.replace(cfg, dim=d)
+        return c if d == c.dim else dataclasses.replace(c, dim=d)
 
     def force(pos, mass, params):
         acc, _stats = bh_accel(

@@ -76,6 +76,9 @@ class BHConfig:
     subgroups: int = 64  # bbox granularity: acceptance tests against the
     # union of this many per-subgroup boxes, so groups that straddle Morton
     # seams (two far-apart clusters) don't open the whole tree
+    mxu_blocks: bool = True  # evaluate pair/monopole blocks as matmuls
+    # (recentred norm-trick r² + matmul accumulation — no [B,P,3]
+    # intermediate, contraction on the MXU).  False = elementwise VPU form.
     frontier_schedule: tuple = None  # per-level frontier slot counts for
     # levels start_level+1..max_level; None = auto (grows toward
     # frontier_cap at the leaf).  Opening is heavily bottom-weighted
@@ -105,11 +108,35 @@ class BHConfig:
     def window(self) -> int:
         return self.group_size + 2 * self.window_pad
 
+    @staticmethod
+    def auto_for(n: int, **overrides) -> "BHConfig":
+        """Size-adaptive preset (v5e sweep, scripts/tune_bh_1m.py): dense
+        group evals get relatively cheaper as N grows, so the optimal group
+        size scales up — 8192 wins at N=1M (1.41 steps/s vs 1.13 for the
+        old 2048 default) but over-pads small problems."""
+        if n <= 32768:
+            base = dict(group_size=2048, subgroups=64, chunk_groups=1)
+        elif n <= 262144:
+            base = dict(group_size=4096, subgroups=64, chunk_groups=1)
+        else:
+            base = dict(group_size=8192, subgroups=128, chunk_groups=1)
+        base.update(overrides)
+        return BHConfig(**base)
 
-def _monopole(gpos, com, m, use, g, g_soft):
+
+def _monopole(gpos, com, m, use, g, g_soft, center=None):
     """Masked monopole acceleration: gpos [B,3] targets, com/m/use [A] nodes.
     Same softened law as the node force in the reference
-    (src/manual/barnes_hut.rs:193-195)."""
+    (src/manual/barnes_hut.rs:193-195).
+
+    With ``center`` given, uses the MXU formulation (see _pair_block_mxu);
+    accepted nodes are θ-far from the group, so the norm-trick cancellation
+    is benign here."""
+    if center is not None:
+        return _pair_block_mxu(
+            gpos, None, com, jnp.where(use, m, 0.0), None, use, g, g_soft,
+            center,
+        )
     d = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]
     r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft  # [B, A]
     ok = use[None, :] & (r2 > 0.0)
@@ -121,10 +148,14 @@ def _monopole(gpos, com, m, use, g, g_soft):
     )
 
 
-def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft):
+def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center=None):
     """Direct pairwise acceleration of group targets vs a particle slab.
     Self-pairs masked by global sorted index; coincident pairs skipped
     (the reference LLM engine's r^2 guard, src/llm/barnes_hut.rs:819)."""
+    if center is not None:
+        return _pair_block_mxu(
+            gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center
+        )
     dd = ppos[None, :, :] - gpos[:, None, :]  # [B, P, 3]
     r2 = jnp.sum(dd * dd, axis=-1) + g_soft * g_soft
     skip = (pidx[None, :] == gidx[:, None]) | (r2 <= 0.0) | ~pvalid[None, :]
@@ -133,6 +164,37 @@ def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft):
     return g * jnp.einsum(
         "bp,bpd->bd", s, dd, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def _pair_block_mxu(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center):
+    """MXU formulation of the pair block: both the pair distances and the
+    accumulation become true matmuls, eliminating the [B, P, 3] broadcast
+    intermediate (HBM-bound on TPU):
+
+        r²_ip = |g_i - c|² + |p_p - c|² - 2 (g_i - c)·(p_p - c) + ε²
+        a_i   = Σ_p s_ip (p_p - g_i) = s @ (p - c)  -  (g_i - c) Σ_p s_ip
+
+    ``center`` recenters both sides into the group's local frame so the
+    norm-trick cancellation stays benign for close (strong-force) pairs —
+    the same trick as the brute-pallas-mxu kernel (ops/pairwise.py).
+    HIGHEST precision throughout: physics contractions must not run bf16.
+
+    ``gidx``/``pidx`` of None skips the self-pair test (monopole sources
+    are nodes, never the target particle itself)."""
+    hi = jax.lax.Precision.HIGHEST
+    gp = gpos - center[None, :]  # [B, 3]
+    pp = ppos - center[None, :]  # [P, 3]
+    n2g = jnp.sum(gp * gp, axis=1)[:, None]  # [B, 1]
+    n2p = jnp.sum(pp * pp, axis=1)[None, :]  # [1, P]
+    cross = jnp.dot(gp, pp.T, precision=hi)  # [B, P]
+    r2 = n2g + n2p - 2.0 * cross + g_soft * g_soft
+    skip = (r2 <= 0.0) | ~pvalid[None, :]
+    if gidx is not None:
+        skip = skip | (pidx[None, :] == gidx[:, None])
+    inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+    s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * pm[None, :])
+    acc = jnp.dot(s, pp, precision=hi) - gp * jnp.sum(s, axis=1)[:, None]
+    return g * acc
 
 
 def _compact(ids, keep, out_slots):
@@ -191,6 +253,15 @@ def _group_accel(
     hi = jnp.where(any_alive, hi, far)
     gc = 0.5 * (lo + hi)  # [S, 3]
     gh = 0.5 * (hi - lo)
+
+    # group-frame center for the MXU block formulation: midpoint of the
+    # alive members' bounding box (None disables the MXU path)
+    if cfg.mxu_blocks:
+        glo = jnp.min(jnp.where(has[..., None], spos, big), axis=(0, 1))
+        ghi = jnp.max(jnp.where(has[..., None], spos, -big), axis=(0, 1))
+        center = jnp.where(jnp.any(has), 0.5 * (glo + ghi), 0.0)
+    else:
+        center = None
 
     # sorted-index window around the group
     wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
@@ -266,7 +337,8 @@ def _group_accel(
         )
         a_dropped = a_dropped + adrop.astype(jnp.int32)
         acc = acc + _monopole(
-            gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g, g_soft
+            gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g,
+            g_soft, center,
         )
 
         if l < L:
@@ -285,7 +357,7 @@ def _group_accel(
     widx = wstart + jnp.arange(W, dtype=jnp.int32)
     acc = acc + _pair_block(
         gpos, gidx, wrow[:, :3], jnp.where(wmask, wrow[:, 3], 0.0),
-        widx, wmask, g, g_soft,
+        widx, wmask, g, g_soft, center,
     )
 
     # ---- residual near field: boundary cells, gathered particle list ----
@@ -314,7 +386,7 @@ def _group_accel(
     prow = pmass_sp[pidx]  # [P, 4] packed (x, y, z, m): one row gather
     acc = acc + _pair_block(
         gpos, gidx, prow[:, :3],
-        jnp.where(pvalid, prow[:, 3], 0.0), pidx, pvalid, g, g_soft,
+        jnp.where(pvalid, prow[:, 3], 0.0), pidx, pvalid, g, g_soft, center,
     )
 
     return acc, a_dropped, f_dropped, n_dropped, total

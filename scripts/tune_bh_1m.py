@@ -43,6 +43,34 @@ CONFIGS = {
     "g4096_s64_cg1_n131k": dict(group_size=4096, subgroups=64, chunk_groups=1,
                                 n=131072),
     "base_n131k": dict(n=131072),
+    # round 3: ablations to decompose the step (accuracy is NOT the point
+    # here — fallback counts explode; only the timing signal matters)
+    "g4_near2k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                      near_particle_cap=2048),
+    "g4_near4k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                      near_particle_cap=4096),
+    "g4_pad512": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                      window_pad=512),
+    # round 4: MXU block formulation A/B (norm-trick matmul pair evals)
+    "g4_mxu": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                   mxu_blocks=True),
+    "g4_novpu": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                     mxu_blocks=False),
+    "g4_mxu_131k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                        mxu_blocks=True, n=131072),
+    "g4_mxu_near16k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                           mxu_blocks=True, near_particle_cap=16384),
+    "g8_mxu": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                   mxu_blocks=True),
+    # round 5: group scaling continues under the MXU formulation
+    "g16_mxu": dict(group_size=16384, subgroups=256, chunk_groups=1,
+                    mxu_blocks=True),
+    "g8_s64_mxu": dict(group_size=8192, subgroups=64, chunk_groups=1,
+                       mxu_blocks=True),
+    "g8_mxu_pad4096": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                           window_pad=4096, mxu_blocks=True),
+    "g8_mxu_131k": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                        mxu_blocks=True, n=131072),
 }
 
 

@@ -31,3 +31,59 @@ def test_compact_empty():
     out, valid, dropped = _compact(ids, keep, 4)
     assert int(dropped) == 0
     assert not np.asarray(valid).any()
+
+
+def test_mxu_pair_block_matches_vpu():
+    """The MXU norm-trick pair block must match the elementwise form to
+    f32 roundoff (recentring keeps the cancellation benign)."""
+    from nbody_tpu.ops.traversal import _pair_block, _pair_block_mxu
+
+    rng = np.random.default_rng(0)
+    B, P = 256, 512
+    base = np.array([2.0, -1.0, 0.5])
+    gpos = jnp.asarray(base + 0.3 * rng.standard_normal((B, 3)), jnp.float32)
+    ppos = jnp.asarray(base + 0.3 * rng.standard_normal((P, 3)), jnp.float32)
+    ppos = ppos.at[:B].set(gpos)  # overlap: exercises the self-pair mask
+    pm = jnp.asarray(rng.uniform(0.5, 1.5, P), jnp.float32)
+    gidx = jnp.arange(B, dtype=jnp.int32)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    pvalid = jnp.arange(P) < 500
+    center = jnp.asarray(base, jnp.float32)
+
+    ref = _pair_block(gpos, gidx, ppos, jnp.where(pvalid, pm, 0.0), pidx,
+                      pvalid, 1.0, 0.02)
+    got = _pair_block_mxu(gpos, gidx, ppos, jnp.where(pvalid, pm, 0.0), pidx,
+                          pvalid, 1.0, 0.02, center)
+    scale = float(jnp.mean(jnp.linalg.norm(ref, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(got - ref, axis=1))) / scale
+    # f32 norm-trick roundoff; well below the BH method error (~1e-2 at
+    # theta^2=1) and the softening-scale force error
+    assert err < 3e-4, err
+
+
+def test_mxu_traversal_matches_vpu_traversal():
+    """Full bh_accel with mxu_blocks on/off agrees on the disc scene."""
+    import dataclasses
+
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.ops.traversal import BHConfig, bh_accel
+    from nbody_tpu.scenes import self_gravitating_disc
+
+    pos, vel, mass = self_gravitating_disc(3000, seed=3)
+    state = ParticleState.create(pos, vel, mass, capacity=4096,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    cfg = BHConfig(max_level=4, group_size=512, subgroups=16, window_pad=256,
+                   frontier_cap=2048, accept_cap=1024, near_cell_cap=512,
+                   near_particle_cap=1024, start_level=1, chunk_groups=1,
+                   mxu_blocks=True)
+    m = state.effective_mass()
+    acc_mxu, _ = bh_accel(state.pos, m, params.bounds, params.theta2,
+                          params.g, params.g_soft, cfg)
+    acc_vpu, _ = bh_accel(state.pos, m, params.bounds, params.theta2,
+                          params.g, params.g_soft,
+                          dataclasses.replace(cfg, mxu_blocks=False))
+    scale = float(jnp.mean(jnp.linalg.norm(acc_vpu, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(acc_mxu - acc_vpu, axis=1))) / scale
+    assert err < 2e-3, err
