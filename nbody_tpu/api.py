@@ -60,11 +60,12 @@ class Simulation:
         **settings,
     ):
         if engine == "auto":
-            # direct sum wins through ~130k on one chip (measured crossover,
-            # results/combined_nbody_tpu.csv); the tree wins beyond
+            # measured crossover on one chip: direct sum ~14.9 steps/s at
+            # 100k vs the MXU-block tree at ~14.5 (results/combined_*.csv,
+            # results/tune_bh_1m.jsonl); the tree wins beyond ~105k
             n = len(mass)
-            engine = "brute-pallas" if n <= 131072 else "bh"
-            if jax.default_backend() == "cpu" and n <= 131072:
+            engine = "brute-pallas" if n <= 102400 else "bh"
+            if jax.default_backend() == "cpu" and n <= 102400:
                 engine = "brute"
         self.engine = get_engine(engine, **(engine_options or {}))
         # pallas engines want tile-friendly capacities (big power-of-two
