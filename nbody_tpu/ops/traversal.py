@@ -71,7 +71,9 @@ class BHConfig:
     # at Morton-far indices, so the residual gather path stays material even
     # with a wide window.  Overflow is reported in stats — treat nonzero
     # drops as a mis-sized config.
-    start_level: int = 2  # dense start: all 8^start_level cells
+    start_level: int = 3  # dense start: all 8^start_level cells (sweep:
+    # 3 beats 2 by ~4% at 1M and ~3% at 131k — the dense 512-cell start
+    # absorbs a whole frontier round; 4 regresses)
     chunk_groups: int = 1  # groups processed per lax.map iteration
     subgroups: int = 64  # bbox granularity: acceptance tests against the
     # union of this many per-subgroup boxes, so groups that straddle Morton

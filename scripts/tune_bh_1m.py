@@ -71,6 +71,15 @@ CONFIGS = {
                            window_pad=4096, mxu_blocks=True),
     "g8_mxu_131k": dict(group_size=8192, subgroups=128, chunk_groups=1,
                         mxu_blocks=True, n=131072),
+    # round 6: walk-depth micro-tuning under the winning config
+    "g8_sl3": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                   mxu_blocks=True, start_level=3),
+    "g8_acc4096": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                       mxu_blocks=True, accept_cap=4096, frontier_cap=4096),
+    "g4_sl3_131k": dict(group_size=4096, subgroups=64, chunk_groups=1,
+                        mxu_blocks=True, start_level=3, n=131072),
+    "g8_sl4": dict(group_size=8192, subgroups=128, chunk_groups=1,
+                   mxu_blocks=True, start_level=4),
 }
 
 
