@@ -87,3 +87,18 @@ def test_mxu_traversal_matches_vpu_traversal():
     scale = float(jnp.mean(jnp.linalg.norm(acc_vpu, axis=1)))
     err = float(jnp.max(jnp.linalg.norm(acc_mxu - acc_vpu, axis=1))) / scale
     assert err < 2e-3, err
+
+
+def test_auto_group_presets():
+    """Capacity-adaptive presets (v5e sweep) and explicit-option override."""
+    from nbody_tpu.ops.traversal import BHConfig
+
+    assert BHConfig.auto_for(32768).group_size == 2048
+    assert BHConfig.auto_for(131072).group_size == 4096
+    assert BHConfig.auto_for(1 << 20).group_size == 8192
+    assert BHConfig.auto_for(1 << 20).subgroups == 128
+    assert BHConfig.auto_for(1 << 20, group_size=1024).group_size == 1024
+    # padded block size must stay group-aligned for the traversal reshape
+    for n in (32768, 131072, 1 << 20):
+        c = BHConfig.auto_for(n)
+        assert n % (c.group_size * c.chunk_groups) == 0
