@@ -43,6 +43,16 @@ from nbody_tpu.core.energy import total_energy
 from nbody_tpu.engines import Engine, get_engine
 
 
+def resolve_auto_engine(n: int) -> str:
+    """Engine choice for ``engine="auto"`` — the measured single-chip
+    crossover (results/combined_nbody_tpu.csv): direct sum 18.4 vs tree 17.1
+    steps/s at N=90k, 14.9 vs 15.6 at 100k; the tuned tree wins beyond ~95k.
+    (The reference selects engines by editing main.rs, src/main.rs:91-101.)"""
+    if jax.default_backend() == "cpu" and n <= 95000:
+        return "brute"  # the Pallas kernel is TPU-only
+    return "brute-pallas" if n <= 95000 else "bh"
+
+
 class Simulation:
     def __init__(
         self,
@@ -60,13 +70,7 @@ class Simulation:
         **settings,
     ):
         if engine == "auto":
-            # measured crossover on one chip: direct sum ~14.9 steps/s at
-            # 100k vs the MXU-block tree at ~14.5 (results/combined_*.csv,
-            # results/tune_bh_1m.jsonl); the tree wins beyond ~105k
-            n = len(mass)
-            engine = "brute-pallas" if n <= 102400 else "bh"
-            if jax.default_backend() == "cpu" and n <= 102400:
-                engine = "brute"
+            engine = resolve_auto_engine(len(mass))
         self.engine = get_engine(engine, **(engine_options or {}))
         # pallas engines want tile-friendly capacities (big power-of-two
         # j-tiles); others are happy with the 128-lane minimum

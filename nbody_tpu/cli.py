@@ -75,10 +75,11 @@ def main(argv=None) -> dict:
 
     pos, vel, mass = SCENES[args.scene](args.num_points, seed=args.seed)
 
-    if args.engine == "auto":
-        args.engine = "brute-pallas" if len(mass) <= 131072 else "bh"
-        if jax.default_backend() == "cpu" and len(mass) <= 131072:
-            args.engine = "brute"
+    if args.engine == "auto" and args.devices and args.devices > 1:
+        # ShardedSimulation has no auto mode; apply the api's crossover here
+        from nbody_tpu.api import resolve_auto_engine
+
+        args.engine = resolve_auto_engine(len(mass))
 
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation
@@ -110,6 +111,12 @@ def main(argv=None) -> dict:
     sim.compile(chunk)
     if args.steps % chunk:
         sim.compile(args.steps % chunk)
+    # warm-execute one chunk, then rewind: the first execution of a compiled
+    # program pays a one-time load on the TPU runtime that must not land in
+    # the timed region (compiling alone is not enough)
+    sim.run(min(chunk, args.steps))
+    sim.block_until_ready()
+    sim.reset()
 
     if not args.json:
         print("Running simulation without rendering...")
@@ -134,7 +141,7 @@ def main(argv=None) -> dict:
 
     steps_per_second = args.steps / elapsed
     result = {
-        "engine": args.engine,
+        "engine": getattr(getattr(sim, "engine", None), "name", args.engine),
         "n": args.num_points,
         "steps": args.steps,
         "elapsed_s": elapsed,
