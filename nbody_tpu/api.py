@@ -288,4 +288,13 @@ class Simulation:
                 half_width=jnp.asarray(p["bounds_half_width"]),
             ),
         )
+        if self.engine.stateful:
+            # stateful engines (bh-lazy) carry a tree bound to the positions
+            # it was built from; rebinding it to the restored state avoids a
+            # first post-load step traversing a stale frozen binning
+            self._carry = self.engine.init_carry(
+                self._state.pos, self._state.effective_mass(), self._params
+            )
+            self._initial_carry = self._carry
+        self._initial = self._state
         return self

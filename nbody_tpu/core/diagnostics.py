@@ -31,7 +31,9 @@ def angular_momentum(state: ParticleState) -> jax.Array:
 
 def center_of_mass(state: ParticleState) -> jax.Array:
     m = state.effective_mass()
-    return jnp.sum(state.pos * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), 1e-300)
+    # dtype-aware guard: a float64 literal like 1e-300 underflows to 0 in f32
+    tiny = jnp.asarray(jnp.finfo(m.dtype).tiny, m.dtype)
+    return jnp.sum(state.pos * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), tiny)
 
 
 def diagnostics(state: ParticleState, params: SimParams) -> dict:

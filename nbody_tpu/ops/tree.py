@@ -95,6 +95,17 @@ def grid_bounds(bounds, max_level: int):
     return dataclasses.replace(bounds, center=bounds.center + cell * 0.5)
 
 
+def _check_range_dtype(n: int, ftype) -> None:
+    """Packed node rows store particle-range starts/ends in the position
+    dtype; counts beyond the mantissa (2^24 in f32, 2^53 in f64) would
+    silently corrupt traversal ranges — fail loudly instead."""
+    limit = 1 << (53 if ftype == jnp.float64 else 24)
+    assert n < limit, (
+        f"N={n} exceeds the exact-integer range of {jnp.dtype(ftype).name} "
+        "node tables; use float64 (jax_enable_x64) for N >= 2^24"
+    )
+
+
 def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
                     branch: int, ftype):
     """Aggregate leaf-cell statistics up the dense pyramid and pack the
@@ -157,6 +168,7 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
     dimension-agnostic (the reference is generic over D the same way,
     src/shared.rs:46-59)."""
     n = pos.shape[0]
+    _check_range_dtype(n, pos.dtype)
     branch = 1 << dim
     n_leaf = branch ** max_level
     gb = grid_bounds(bounds, max_level)
@@ -228,6 +240,7 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
     """
     n_loc = pos_loc.shape[0]
     n_tot = pos_all.shape[0]
+    _check_range_dtype(n_tot, pos_all.dtype)
     branch = 1 << dim
     n_leaf = branch ** max_level
     gb = grid_bounds(bounds, max_level)

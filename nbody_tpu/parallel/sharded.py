@@ -212,7 +212,15 @@ class ShardedSimulation:
         n_dev = self.mesh.shape[PARTICLE_AXIS]
 
         bh_config = None
-        if engine in ("bh", "bh-deep", "bh-lazy"):
+        if engine == "bh-lazy":
+            # the lazy engine's frozen-binning carry is per-step state the
+            # sharded scan does not thread; running plain 'bh' silently here
+            # would misrepresent what was benchmarked
+            raise NotImplementedError(
+                "sharded bh-lazy is not supported; use engine='bh' "
+                "(full rebuild each step) on the mesh"
+            )
+        if engine in ("bh", "bh-deep"):
             from nbody_tpu.ops.traversal import BHConfig
 
             bh_config = BHConfig(**(engine_options or {}))
