@@ -65,6 +65,7 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
             "accept_dropped": int(stats["accept_dropped"]),
             "frontier_fallback": int(stats["frontier_fallback"]),
             "near_fallback": int(stats["near_fallback"]),
+            "fb_spill": int(stats["fb_spill"]),
         }
 
     return Engine(

@@ -1,0 +1,137 @@
+"""Pallas group-force kernel: evaluate every Barnes-Hut group's force against
+its assembled source slab (window neighbors + residual near-field particles +
+accepted monopole nodes) in one fused VMEM-tiled pass.
+
+This is the TPU answer to the reference's hot per-particle traversal loop
+(src/llm/barnes_hut.rs:774-877): the traversal *decision* work (theta tests,
+frontier expansion) stays in XLA (ops/traversal.py), but 100% of the O(B*S)
+interaction arithmetic — which round-1 profiling showed dominated the step as
+padded-slab XLA einsums (~70% of the 1M step) — runs here as dense VPU tiles.
+
+Why it wins over the XLA slab eval:
+  * No [B, S] / [B, S, 3] HBM intermediates — r^2 and the interaction weight
+    live in registers/VMEM only.
+  * Per-tile skip flags: compacted slabs are prefix-dense, so padding tiles
+    (most of the accepted-node and near-field caps) cost one 4-byte flag
+    fetch instead of a B x TILE eval.  XLA cannot skip them: the einsum
+    shape is the cap, not the occupancy.
+  * The (B,1) x (1,TILE) broadcast layout keeps everything in native VPU
+    tiles — no transposes, no gathers inside the kernel (the slab was
+    gathered once during assembly).
+
+Source slab row layout (8-wide, assembled by ops/traversal.py):
+    (x, y, z, mass, sorted_index, 0, 0, 0)
+mass == 0 marks padding/invalid rows (zero weight); sorted_index == -1 marks
+monopole rows (never matches a target, so no self-skip applies).  Target rows
+use the same layout, with sorted_index the target's own global sorted slot —
+self-pairs are masked by index equality exactly like the Pallas brute-force
+kernel (ops/pairwise.py) and the reference's leaf self-skip
+(src/llm/barnes_hut.rs:819).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # whole-tile skip: slabs are prefix-compacted, so trailing cap padding
+    # collapses to one (1, TILE) mass reduction (the pipeline still streams
+    # the block, but an [8, TILE] DMA is ~free next to the B x TILE eval it
+    # replaces).  Computed in-kernel: a separate flags operand would need
+    # its own Mosaic-legal block shape for a 4-byte read.
+    @pl.when(jnp.any(src_ref[3:4, :] != 0.0))
+    def _():
+        # scalars ride in a (1, 128) VMEM row, not SMEM — gridded kernels
+        # with SMEM inputs hang under the axon remote compile
+        eps2 = scal_ref[0, 0]
+
+        tx = tgt_ref[:, 0:1]  # (B, 1) target columns
+        ty = tgt_ref[:, 1:2]
+        tz = tgt_ref[:, 2:3]
+        ti = tgt_ref[:, 4:5]
+        sx = src_ref[0:1, :]  # (1, TILE) source rows (slab arrives transposed)
+        sy = src_ref[1:2, :]
+        sz = src_ref[2:3, :]
+        sm = src_ref[3:4, :]
+        si = src_ref[4:5, :]
+
+        dx = sx - tx  # (B, TILE) clean VPU broadcasts
+        dy = sy - ty
+        dz = sz - tz
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        # self-pairs by exact integer-valued float compare (indices < 2^24
+        # are exact in f32 — guarded at build, ops/tree.py); coincident pairs
+        # by the r^2 guard (reference src/llm/barnes_hut.rs:819)
+        skip = (si == ti) | (r2 <= 0.0)
+        inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+        s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * sm)
+
+        out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+        out_ref[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+        out_ref[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "target_tile",
+                                              "interpret"))
+def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
+                       target_tile: int = 512, interpret: bool = False):
+    """tgt8 [G, B, 8] target rows, slabT [G, 8, S] transposed source slab
+    -> acc [G, B, 3].
+
+    Grid (G, B//TI, S//tile): target/output blocks stay VMEM-resident
+    across the inner source sweep; the j dimension is the sequential
+    accumulation axis (standard Pallas reduction pattern, same as
+    ops/pairwise.py).  The target dimension is tiled to TI=512 rows —
+    each elementwise temporary in the kernel is (TI, tile) f32, and Mosaic
+    keeps several live at once, so TI x tile must stay a few MB to fit the
+    ~16 MB scoped-VMEM budget (B=4096 blocks OOM'd at compile: 3 x 33 MB
+    for dx/dy/dz alone)."""
+    G, B, _ = tgt8.shape
+    S = slabT.shape[2]
+    assert S % tile == 0, (tgt8.shape, slabT.shape, tile)
+    ti = target_tile
+    while ti > 8 and B % ti:
+        ti //= 2
+    ti = min(ti, B)
+    assert B % ti == 0, (B, ti)
+    dtype = tgt8.dtype
+    scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
+    bt = B // ti
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(G, bt, S // tile),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda gi, bi, j: (gi, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(G) * int(B) * int(S) * 13,
+            bytes_accessed=int(G) * (int(B) * 64 + int(S) * 32 * int(bt)),
+            transcendentals=int(G) * int(B) * int(S),
+        ),
+        interpret=interpret,
+    )(scal, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
+    return (out[:, :3] * g).reshape(G, B, 3)

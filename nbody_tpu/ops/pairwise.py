@@ -64,10 +64,19 @@ def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out, *, tile_i, tile_j):
     out[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
-def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048):
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
+                        interpret=False):
     """pos [N, 3], mass [N] -> acc [N, 3].  N must be a multiple of the tile
     sizes (states are capacity-padded; pad sources with m=0)."""
+    if pos.shape[1] != 3:
+        # the kernel's coordinate unpacking is 3D-only; fail loudly instead
+        # of indexing a phantom z column (2D states should use the
+        # dimension-generic 'brute' / 'bh' engines)
+        raise ValueError(
+            f"brute-pallas supports 3D states only, got D={pos.shape[1]}; "
+            "use engine='brute' or 'bh' for 2D"
+        )
     n = pos.shape[0]
     dtype = pos.dtype
     # shrink tiles to the largest power-of-two divisor of n (capacities are
@@ -112,6 +121,7 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048):
             bytes_accessed=int(n) * 4 * 4 + int(n) * 8 * 4,
             transcendentals=int(n) * int(n),
         ),
+        interpret=interpret,
     )(scal, col(x), col(y), col(z), row(x), row(y), row(z), row(mass))
     return out[:, :3] * g
 
@@ -210,6 +220,11 @@ def _kernel_mxu(scal_ref, pi8, pjT, pj8, out, *, tile_i, tile_j):
 def pairwise_acc_pallas_mxu(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
                             interpret=False):
     """MXU-heavy all-pairs kernel; same semantics as pairwise_acc_pallas."""
+    if pos.shape[1] != 3:
+        raise ValueError(
+            f"brute-pallas-mxu supports 3D states only, got D={pos.shape[1]}; "
+            "use engine='brute' or 'bh' for 2D"
+        )
     n = pos.shape[0]
     dtype = pos.dtype
     while tile_i > 128 and n % tile_i:

@@ -25,17 +25,19 @@ with SIMD" / Bonsai, re-cast for the TPU's dense-tile execution model):
     window pass counts exactly the removed cells' particles.  This keeps
     the expensive gather path for the rare boundary cells only and is exact
     (direct sum) where Barnes-Hut would have been approximate.
-  * Per level: gather frontier cell stats -> window-covered / accepted /
-    expanded.  Accepted cells are compacted to a small slab and contribute
-    monopole forces (dense [B, A] eval + MXU contraction); expanded cells'
-    8 children become the next frontier (O(F) cumsum+scatter compaction).
-  * At the finest level, unexpandable non-window cells form the residual
-    near field: their ranges are gathered into a padded particle list and
-    summed pairwise.
-
-All caps are static; overflow is counted and reported per category (the
-analog of the reference's stack-overflow warn-and-continue fallback,
-src/llm/barnes_hut.rs:859-869).
+  * The walk only *collects* (round-2 restructure): accepted nodes compact
+    into a per-group monopole slab, boundary leaf cells into a gathered
+    near-particle index list.  All O(B*S) interaction arithmetic then runs
+    in ONE pass over the assembled source slab — on TPU via the fused
+    Pallas kernel (ops/group_force.py) with per-tile skip of cap padding;
+    elsewhere via the same math as XLA contractions.
+  * Budget overflow (frontier slots, near-field caps) degrades cells to
+    *self-excluded* monopoles evaluated in a small side slab — never a
+    dropped force, and (new in round 2) never a softened self-interaction:
+    a cell whose sorted range contains the target has the target's own
+    mass/position subtracted from its aggregates exactly.  Counted in stats
+    (the analog of the reference's stack-overflow warn-and-continue,
+    src/llm/barnes_hut.rs:859-869).
 """
 
 from __future__ import annotations
@@ -63,9 +65,11 @@ class BHConfig:
     group_size: int = 4096  # particles sharing one traversal
     window_pad: int = 2048  # sorted-neighbor window extends this far each way
     frontier_cap: int = 2048  # frontier slots per level (children included)
-    accept_cap: int = 2048  # accepted-node slots evaluated per level
+    accept_cap: int = 2048  # accepted-monopole slab slots (ALL levels)
     near_cell_cap: int = 2048  # residual near-field cells per group
     near_particle_cap: int = 8192  # residual near-field particles per group
+    fb_cap: int = 128  # overflow-fallback node slots (self-excluded
+    # monopoles); overflow beyond this spills to the plain monopole slab
     # NOTE on sizing: scenes that straddle an octant plane (the benchmark
     # disc sits exactly on z=0) put half of each group's spatial neighbors
     # at Morton-far indices, so the residual gather path stays material even
@@ -78,9 +82,13 @@ class BHConfig:
     subgroups: int = 64  # bbox granularity: acceptance tests against the
     # union of this many per-subgroup boxes, so groups that straddle Morton
     # seams (two far-apart clusters) don't open the whole tree
-    mxu_blocks: bool = True  # evaluate pair/monopole blocks as matmuls
-    # (recentred norm-trick r² + matmul accumulation — no [B,P,3]
+    mxu_blocks: bool = True  # XLA eval mode: evaluate the slab as matmuls
+    # (recentred norm-trick r² + matmul accumulation — no [B,S,3]
     # intermediate, contraction on the MXU).  False = elementwise VPU form.
+    eval_mode: str = "auto"  # "pallas" = fused group-force kernel
+    # (ops/group_force.py), "xla" = slab contraction, "auto" = pallas on
+    # TPU f32, xla otherwise (CPU tests, f64)
+    eval_tile: int = 2048  # pallas kernel source-tile width
     frontier_schedule: tuple = None  # per-level frontier slot counts for
     # levels start_level+1..max_level; None = auto (grows toward
     # frontier_cap at the leaf).  Opening is heavily bottom-weighted
@@ -126,34 +134,20 @@ class BHConfig:
         return BHConfig(**base)
 
 
-def _monopole(gpos, com, m, use, g, g_soft, center=None):
-    """Masked monopole acceleration: gpos [B,3] targets, com/m/use [A] nodes.
-    Same softened law as the node force in the reference
-    (src/manual/barnes_hut.rs:193-195).
-
-    With ``center`` given, uses the MXU formulation (see _pair_block_mxu);
-    accepted nodes are θ-far from the group, so the norm-trick cancellation
-    is benign here."""
-    if center is not None:
-        return _pair_block_mxu(
-            gpos, None, com, jnp.where(use, m, 0.0), None, use, g, g_soft,
-            center,
-        )
-    d = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]
-    r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft  # [B, A]
-    ok = use[None, :] & (r2 > 0.0)
-    inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
-    s = jnp.where(ok, inv_r * inv_r * inv_r * m[None, :], 0.0)
-    # HIGHEST: true-f32 contraction (TPU matmuls default to lossy bf16)
-    return g * jnp.einsum(
-        "ba,bad->bd", s, d, precision=jax.lax.Precision.HIGHEST
-    )
+def _resolve_eval_mode(cfg: BHConfig, dtype) -> str:
+    if cfg.eval_mode != "auto":
+        return cfg.eval_mode
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return "pallas"
+    return "xla"
 
 
 def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center=None):
-    """Direct pairwise acceleration of group targets vs a particle slab.
+    """Direct pairwise acceleration of group targets vs a source slab.
     Self-pairs masked by global sorted index; coincident pairs skipped
-    (the reference LLM engine's r^2 guard, src/llm/barnes_hut.rs:819)."""
+    (the reference LLM engine's r^2 guard, src/llm/barnes_hut.rs:819).
+    This is the XLA eval backend; the Pallas backend (ops/group_force.py)
+    computes the identical sum without the [B, P] HBM intermediates."""
     if center is not None:
         return _pair_block_mxu(
             gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center
@@ -199,6 +193,42 @@ def _pair_block_mxu(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center):
     return g * acc
 
 
+def _fb_eval(gpos, gidx, gmass, fb, g, g_soft):
+    """Self-excluded monopole acceleration from the overflow-fallback slab.
+
+    ``fb`` rows are raw packed node rows (mass M, mass-weighted sums S,
+    range_start, range_end — ops/tree.py level_table layout).  A cell owns a
+    contiguous sorted range, so "cell contains target i" is exactly
+    ``cs <= sorted_idx(i) < ce``; for those pairs the target's own
+    contribution is removed in closed form:
+
+        M' = M - m_i,   com' - p_i = (S - M p_i) / M'
+
+    eliminating the softened self-force the round-1 fallback admitted
+    (ADVICE.md #1).  Empty slots (M = 0) and self-only cells (M' = 0)
+    contribute nothing."""
+    M = fb[:, 0]  # [F]
+    S = fb[:, 1:4]  # [F, 3]
+    cs = fb[:, 4]
+    ce = fb[:, 5]
+    ti = gidx.astype(gpos.dtype)[:, None]  # exact ints (< 2^24, tree guard)
+    inside = (cs[None, :] <= ti) & (ti < ce[None, :])  # [B, F]
+    m_eff = M[None, :] - jnp.where(inside, gmass[:, None], 0.0)  # [B, F]
+    valid = m_eff > 0.0
+    tiny = jnp.asarray(jnp.finfo(gpos.dtype).tiny, gpos.dtype)
+    num = S[None, :, :] - jnp.where(inside, gmass[:, None], 0.0)[
+        :, :, None
+    ] * gpos[:, None, :]  # [B, F, 3] = S - m_i p_i (where inside)
+    d = num / jnp.maximum(m_eff, tiny)[:, :, None] - gpos[:, None, :]
+    r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft
+    ok = valid & (r2 > 0.0)
+    inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+    s = jnp.where(ok, inv_r * inv_r * inv_r * m_eff, 0.0)
+    return g * jnp.einsum(
+        "bf,bfd->bd", s, d, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _compact(ids, keep, out_slots):
     """Order-preserving compaction of ``ids[keep]`` into ``out_slots`` slots
     via cumsum + scatter (O(F), no sort).
@@ -214,9 +244,20 @@ def _compact(ids, keep, out_slots):
     return out, valid, dropped
 
 
-def _group_accel(
+def _push_rows(slab, offset, rows, mask, cap):
+    """Append ``rows[mask]`` to a prefix-dense slab with a trash row at
+    index ``cap`` (slab shape [cap+1, 8]).  Returns
+    (slab, new_offset, dropped_mask) — rows past the cap are NOT written."""
+    slot = offset + jnp.cumsum(mask) - 1
+    keep = mask & (slot < cap)
+    write = jnp.where(keep, slot, cap)
+    slab = slab.at[write].set(rows)
+    new_off = jnp.minimum(offset + jnp.sum(mask), cap)
+    return slab, new_off.astype(offset.dtype), mask & ~keep
+
+
+def _group_collect(
     tree: LinearOctree,
-    pmass_sp,  # [Ntot, 4] sorted+padded packed rows (x, y, z, mass)
     n_total: int,
     cell_w2: tuple,
     theta2,
@@ -228,15 +269,15 @@ def _group_accel(
     gmass,
     gidx,
 ):
-    """Traversal + force for ONE group (vmapped over groups).
+    """Traversal (collection only) for ONE group (vmapped over groups).
 
-    gpos [B,3], gmass [B], gidx [B] (global sorted indices).
-    Returns (acc [B,3], stats...)."""
+    gpos [B,3], gmass [B], gidx [B] (global sorted indices).  Returns
+    (mono slab [accept_cap, 8], near pidx [P], near pvalid [P],
+     wmask [W], wstart, center [3], acc_fb [B,3], stats...)."""
     B = cfg.group_size
     L = cfg.max_level
     W = window
     branch = 1 << cfg.dim
-    n_leaf = branch ** L
 
     # per-subgroup bounding boxes over alive members (union covering: tight
     # even when the group straddles a Morton seam into far-apart clusters)
@@ -256,14 +297,11 @@ def _group_accel(
     gc = 0.5 * (lo + hi)  # [S, 3]
     gh = 0.5 * (hi - lo)
 
-    # group-frame center for the MXU block formulation: midpoint of the
-    # alive members' bounding box (None disables the MXU path)
-    if cfg.mxu_blocks:
-        glo = jnp.min(jnp.where(has[..., None], spos, big), axis=(0, 1))
-        ghi = jnp.max(jnp.where(has[..., None], spos, -big), axis=(0, 1))
-        center = jnp.where(jnp.any(has), 0.5 * (glo + ghi), 0.0)
-    else:
-        center = None
+    # group-frame center for the MXU slab formulation: midpoint of the
+    # alive members' bounding box
+    glo = jnp.min(jnp.where(has[..., None], spos, big), axis=(0, 1))
+    ghi = jnp.max(jnp.where(has[..., None], spos, -big), axis=(0, 1))
+    center = jnp.where(jnp.any(has), 0.5 * (glo + ghi), 0.0)
 
     # sorted-index window around the group
     wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
@@ -276,10 +314,15 @@ def _group_accel(
     ids = jnp.arange(n0, dtype=jnp.int32)
     valid = jnp.ones(n0, bool)
 
-    acc = jnp.zeros_like(gpos)
+    ftype = gpos.dtype
+    mono = jnp.zeros((cfg.accept_cap + 1, 8), ftype)
+    mono_off = jnp.int32(0)
+    fb = jnp.zeros((cfg.fb_cap + 1, 8), ftype)
+    fb_off = jnp.int32(0)
     a_dropped = jnp.int32(0)
-    f_dropped = jnp.int32(0)
-    n_dropped = jnp.int32(0)
+    f_fallback = jnp.int32(0)
+    n_fallback = jnp.int32(0)
+    fb_spill = jnp.int32(0)
     near_ids = jnp.zeros((cfg.near_cell_cap,), jnp.int32)
     near_valid = jnp.zeros((cfg.near_cell_cap,), bool)
     # window-coverage diff array (+1 at covered range start, -1 past its end)
@@ -289,6 +332,7 @@ def _group_accel(
         # ONE packed-row gather per slot: (m, mx, my, mz, start, end, _, _)
         row = tree.level_table[l][ids]  # [F, 8]
         m = jnp.where(valid, row[:, 0], 0.0)
+        row = row.at[:, 0].set(m)  # masked rows carry zero mass downstream
         occupied = m > 0
         com = row[:, 1:4] / jnp.where(occupied, m, 1.0)[:, None]
         cs = row[:, 4].astype(jnp.int32)
@@ -310,16 +354,16 @@ def _group_accel(
 
         if l < L:
             # cells that would expand past the parent cap degrade to
-            # monopole (graceful fallback, not a dropped force)
+            # self-excluded monopole (graceful fallback, never a dropped
+            # or self-polluted force)
             parent_cap = sched[l - cfg.start_level] // branch
             overflowed = expand & (jnp.cumsum(expand) > parent_cap)
-            f_dropped = f_dropped + jnp.sum(overflowed).astype(jnp.int32)
-            accept = accept | overflowed
+            f_fallback = f_fallback + jnp.sum(overflowed).astype(jnp.int32)
             expand = expand & ~overflowed
         else:
             # leaf level: take unexpandable cells into the exact near field
             # while they fit the particle and cell budgets (order-preserving
-            # prefix); everything beyond degrades to monopole
+            # prefix); everything beyond degrades to self-excluded monopole
             counts_slot = jnp.where(expand, ce - cs, 0)
             include = (
                 expand
@@ -327,43 +371,39 @@ def _group_accel(
                 & (jnp.cumsum(expand) <= cfg.near_cell_cap)
             )
             overflowed = expand & ~include
-            n_dropped = jnp.sum(overflowed).astype(jnp.int32)
-            accept = accept | overflowed
+            n_fallback = jnp.sum(overflowed).astype(jnp.int32)
             expand = include
 
-        # compact accepted nodes to a small dense slab before evaluation
-        # (never wider than this level's frontier)
-        slots = jnp.arange(ids.shape[0], dtype=jnp.int32)
-        asel, avalid, adrop = _compact(
-            slots, accept, min(cfg.accept_cap, ids.shape[0])
+        # overflow cells -> fallback slab (self-excluded monopole eval);
+        # rows are the raw packed node rows (M, S, cs, ce) _fb_eval expects
+        fb, fb_off, fb_drop = _push_rows(fb, fb_off, row, overflowed,
+                                         cfg.fb_cap)
+        fb_spill = fb_spill + jnp.sum(fb_drop).astype(jnp.int32)
+
+        # accepted nodes (+ fb spill, which loses only the self-exclusion)
+        # -> monopole slab rows (com, mass, idx=-1)
+        mono_mask = accept | fb_drop
+        neg = jnp.full((ids.shape[0],), -1.0, ftype)
+        zero = jnp.zeros((ids.shape[0],), ftype)
+        mrows = jnp.stack(
+            [com[:, 0], com[:, 1], com[:, 2], m, neg, zero, zero, zero],
+            axis=1,
         )
-        a_dropped = a_dropped + adrop.astype(jnp.int32)
-        acc = acc + _monopole(
-            gpos, com[asel], jnp.where(avalid, m[asel], 0.0), avalid, g,
-            g_soft, center,
-        )
+        mono, mono_off, mono_drop = _push_rows(mono, mono_off, mrows,
+                                               mono_mask, cfg.accept_cap)
+        a_dropped = a_dropped + jnp.sum(mono_drop).astype(jnp.int32)
 
         if l < L:
-            parents, pvalid, _ = _compact(ids, expand, parent_cap)
+            parents, pvalid_, _ = _compact(ids, expand, parent_cap)
             ids = (
                 parents[:, None] * branch
                 + jnp.arange(branch, dtype=jnp.int32)
             ).reshape(parent_cap * branch)
-            valid = jnp.repeat(pvalid, branch)
+            valid = jnp.repeat(pvalid_, branch)
         else:
             near_ids, near_valid, _ = _compact(ids, expand, cfg.near_cell_cap)
 
-    # ---- window pass: contiguous sorted neighbors, dense direct sum ----
-    wmask = jnp.cumsum(delta)[:W] > 0
-    wrow = jax.lax.dynamic_slice(pmass_sp, (wstart, jnp.int32(0)), (W, 4))
-    widx = wstart + jnp.arange(W, dtype=jnp.int32)
-    acc = acc + _pair_block(
-        gpos, gidx, wrow[:, :3], jnp.where(wmask, wrow[:, 3], 0.0),
-        widx, wmask, g, g_soft, center,
-    )
-
-    # ---- residual near field: boundary cells, gathered particle list ----
-    # inclusion at leaf level guaranteed total <= near_particle_cap
+    # ---- residual near field: boundary cells -> padded particle id list ----
     P = cfg.near_particle_cap
     nrow = tree.level_table[L][near_ids]
     nstart = nrow[:, 4].astype(jnp.int32)
@@ -385,18 +425,23 @@ def _group_accel(
     pvalid = k < jnp.minimum(total, P)
     pidx = jnp.where(pvalid, pidx, 0)
 
-    prow = pmass_sp[pidx]  # [P, 4] packed (x, y, z, m): one row gather
-    acc = acc + _pair_block(
-        gpos, gidx, prow[:, :3],
-        jnp.where(pvalid, prow[:, 3], 0.0), pidx, pvalid, g, g_soft, center,
-    )
+    wmask = jnp.cumsum(delta)[:W] > 0
 
-    return acc, a_dropped, f_dropped, n_dropped, total
+    # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval)
+    acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
+
+    stats = (a_dropped, f_fallback, n_fallback, fb_spill, total)
+    return (mono[: cfg.accept_cap], pidx, pvalid, wmask, wstart, center,
+            acc_fb, stats)
 
 
 def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
                   chunk_range=None, n_shards: int = 1):
     """Group traversal + force over an already-built tree.
+
+    Structure (round 2): chunked *collect* walk -> dense slab assembly
+    (window slice + near gather + monopole slab) -> one fused eval pass
+    (Pallas kernel on TPU, XLA contraction elsewhere) -> scatter back.
 
     Default: process every group, scatter back, return
     (acc in original particle order, stats).
@@ -409,14 +454,18 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     CG = cfg.chunk_groups
     block = B * CG
     pad = (-n) % block
-    pmass_s = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
-    if pad:
-        pmass_sp = jnp.concatenate(
-            [pmass_s, jnp.zeros((pad, 4), pmass_s.dtype)]
-        )
-    else:
-        pmass_sp = pmass_s
+    dtype = tree.pos_s.dtype
     n_tot = n + pad
+    # packed source rows (x, y, z, m, sorted_idx, 0, 0, 0): the slab/target
+    # row layout of the group-force kernel; idx is exact in f32 below 2^24
+    # (guarded in ops/tree.py)
+    idxf = jnp.arange(n_tot, dtype=dtype)
+    pm4 = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
+    if pad:
+        pm4 = jnp.concatenate([pm4, jnp.zeros((pad, 4), dtype)])
+    pmass8 = jnp.concatenate(
+        [pm4, idxf[:, None], jnp.zeros((n_tot, 3), dtype)], axis=1
+    )
     # a window larger than the whole array degenerates to an all-pairs pass
     window = min(cfg.window, n_tot)
     gidx = jnp.arange(n_tot, dtype=jnp.int32)
@@ -426,24 +475,17 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
     )
 
-    per_group = partial(
-        _group_accel, tree, pmass_sp, n_tot, cell_w2,
-        theta2, g, g_soft, cfg, window,
+    collect = partial(
+        _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
     )
-    vm = jax.vmap(per_group)
+    vm_collect = jax.vmap(collect)
 
     n_groups = n_tot // B
-    gp = pmass_sp[:, :3].reshape(n_groups, B, 3)
-    gm = pmass_sp[:, 3].reshape(n_groups, B)
+    gp8 = pmass8.reshape(n_groups, B, 8)
     gi = gidx.reshape(n_groups, B)
 
-    def chunk_body(args):
-        cp, cm, ci = args
-        return vm(cp, cm, ci)
-
     n_chunks = n_groups // CG
-    cgp = gp.reshape(n_chunks, CG, B, 3)
-    cgm = gm.reshape(n_chunks, CG, B)
+    cgp8 = gp8.reshape(n_chunks, CG, B, 8)
     cgi = gi.reshape(n_chunks, CG, B)
 
     if n_shards > 1:
@@ -451,14 +493,79 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         my_chunks = n_chunks // n_shards
         first = chunk_range[0]
         z = jnp.int32(0)
-        cgp = jax.lax.dynamic_slice(cgp, (first, z, z, z),
-                                    (my_chunks, CG, B, 3))
-        cgm = jax.lax.dynamic_slice(cgm, (first, z, z), (my_chunks, CG, B))
+        cgp8 = jax.lax.dynamic_slice(cgp8, (first, z, z, z),
+                                     (my_chunks, CG, B, 8))
         cgi = jax.lax.dynamic_slice(cgi, (first, z, z), (my_chunks, CG, B))
+    else:
+        my_chunks = n_chunks
 
-    acc_c, adrop, fdrop, ndrop, ntot = jax.lax.map(
-        chunk_body, (cgp, cgm, cgi)
+    def chunk_body(args):
+        cp8, ci = args
+        return vm_collect(cp8[..., :3], cp8[..., 3], ci)
+
+    (mono, pidx, pvalid, wmask, wstart, center, acc_fb, stats_t) = jax.lax.map(
+        chunk_body, (cgp8, cgi)
     )
+    G_my = my_chunks * CG
+    W = window
+    P = cfg.near_particle_cap
+    mono = mono.reshape(G_my, cfg.accept_cap, 8)
+    pidx = pidx.reshape(G_my, P)
+    pvalid = pvalid.reshape(G_my, P)
+    wmask = wmask.reshape(G_my, W)
+    wstart = wstart.reshape(G_my)
+    center = center.reshape(G_my, 3)
+    acc_fb = acc_fb.reshape(G_my, B, 3)
+    adrop, fdrop, ndrop, fbspill, ntot = (s.reshape(-1) for s in stats_t)
+
+    # ---- slab assembly: window slice + near gather + monopole slab ----
+    wrows = jax.vmap(
+        lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)), (W, 8))
+    )(wstart)  # [G, W, 8]
+    wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
+    nrows = pmass8[pidx]  # [G, P, 8]
+    nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
+    slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
+    S = slab.shape[1]
+    tile = cfg.eval_tile
+    while tile > 128 and tile > S:
+        tile //= 2
+    s_pad = (-S) % tile
+    if s_pad:
+        slab = jnp.concatenate(
+            [slab, jnp.zeros((G_my, s_pad, 8), dtype)], axis=1
+        )
+        S += s_pad
+
+    tgt8 = cgp8.reshape(G_my, B, 8)
+    mode = _resolve_eval_mode(cfg, dtype)
+    if mode == "pallas":
+        from nbody_tpu.ops.group_force import group_force_pallas
+
+        acc_main = group_force_pallas(
+            tgt8, jnp.swapaxes(slab, 1, 2), g, g_soft, tile=tile
+        )
+    else:
+        cslab = slab.reshape(my_chunks, CG, S, 8)
+        ctr = center.reshape(my_chunks, CG, 3)
+
+        def eval_body(args):
+            sl_c, gp_c, gi_c, ct_c = args
+
+            def one(sl, gpos_, gidx_, ct):
+                return _pair_block(
+                    gpos_, gidx_, sl[:, :3], sl[:, 3],
+                    sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
+                    g, g_soft, ct if cfg.mxu_blocks else None,
+                )
+
+            return jax.vmap(one)(sl_c, gp_c[..., :3], gi_c, ct_c)
+
+        acc_main = jax.lax.map(
+            eval_body, (cslab, cgp8, cgi, ctr)
+        ).reshape(G_my, B, 3)
+
+    acc_c = acc_main + acc_fb
 
     if n_shards > 1:
         acc = acc_c.reshape(-1, 3)  # SORTED-order slice; caller assembles
@@ -469,10 +576,14 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     stats = {
         # true drops (should always be 0; raise accept_cap if not)
         "accept_dropped": jnp.sum(adrop),
-        # graceful monopole fallbacks: cells that would have been opened /
-        # summed exactly but exceeded a budget (accuracy, not correctness)
+        # graceful self-excluded-monopole fallbacks: cells that would have
+        # been opened / summed exactly but exceeded a budget (accuracy, not
+        # correctness)
         "frontier_fallback": jnp.sum(fdrop),
         "near_fallback": jnp.sum(ndrop),
+        # fb-slab overflow: degraded further to a PLAIN monopole (may
+        # include a softened self-interaction — raise fb_cap if nonzero)
+        "fb_spill": jnp.sum(fbspill),
         "near_totals": ntot.reshape(-1),  # residual near size per group
     }
     return acc, stats

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Round-2 BH tuner (TPU): A/B the fused Pallas group-force eval
+(ops/group_force.py) against the round-1 XLA slab eval, then sweep the knobs
+whose economics the kernel changes (near caps are ~free when padding tiles
+skip; window width trades dense kernel work for gathers).
+
+Force-only timings (one dispatch per call, ~25 ms relay overhead inflates
+each sample — compare relatively; fused-run numbers come from
+scripts/perf_benchmark.py).  Appends JSON lines to results/tune_bh_r2.jsonl;
+already-done configs are skipped on rerun.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.core.state import ParticleState, SimParams
+from nbody_tpu.ops.traversal import BHConfig, bh_accel
+from nbody_tpu.scenes import self_gravitating_disc
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results",
+                   "tune_bh_r2.jsonl")
+N = 1 << 20
+REPS = 3
+
+G8 = dict(group_size=8192, subgroups=128, chunk_groups=1, start_level=3)
+G4 = dict(group_size=4096, subgroups=64, chunk_groups=1, start_level=3)
+
+CONFIGS = {
+    # A/B at the round-1 winning config
+    "xla_g8": dict(eval_mode="xla", **G8),
+    "pl_g8": dict(eval_mode="pallas", **G8),
+    # kernel tile width
+    "pl_g8_t4096": dict(eval_mode="pallas", eval_tile=4096, **G8),
+    "pl_g8_t1024": dict(eval_mode="pallas", eval_tile=1024, **G8),
+    # near caps are cheap now: kill the 1M fallback tail (VERDICT #4)
+    "pl_g8_near16k": dict(eval_mode="pallas", near_particle_cap=16384,
+                          near_cell_cap=4096, **G8),
+    "pl_g8_near32k": dict(eval_mode="pallas", near_particle_cap=32768,
+                          near_cell_cap=4096, **G8),
+    # window width: smaller window -> more near cells (cheap) fewer dense rows
+    "pl_g8_pad1024": dict(eval_mode="pallas", window_pad=1024,
+                          near_particle_cap=16384, near_cell_cap=4096, **G8),
+    "pl_g8_pad4096": dict(eval_mode="pallas", window_pad=4096, **G8),
+    # bigger groups: dense evals amortize gathers harder under the kernel
+    "pl_g16": dict(eval_mode="pallas", group_size=16384, subgroups=256,
+                   chunk_groups=1, start_level=3),
+    "pl_g16_near16k": dict(eval_mode="pallas", group_size=16384,
+                           subgroups=256, chunk_groups=1, start_level=3,
+                           near_particle_cap=16384, near_cell_cap=4096),
+    # mid-N check
+    "xla_g4_131k": dict(eval_mode="xla", n=131072, **G4),
+    "pl_g4_131k": dict(eval_mode="pallas", n=131072, **G4),
+    "pl_g4_131k_near16k": dict(eval_mode="pallas", n=131072,
+                               near_particle_cap=16384, near_cell_cap=4096,
+                               **G4),
+}
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+
+
+def main():
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+
+    states = {}
+
+    def get_state(n):
+        if n not in states:
+            pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+            states[n] = ParticleState.create(
+                pos, vel, mass, capacity=n, dtype=jnp.float32
+            )
+        return states[n]
+
+    params = SimParams.create(
+        dt=3e-2, g_soft=0.02, theta2=1.0, bounds_width=10.0, dtype=jnp.float32
+    )
+
+    for name, opts in CONFIGS.items():
+        if name in done:
+            continue
+        opts = dict(opts)
+        n_cfg = opts.pop("n", N)
+        state = get_state(n_cfg)
+        cfg = BHConfig(max_level=7, **opts)
+        fn = jax.jit(
+            lambda p, m, cfg=cfg: bh_accel(
+                p, m, params.bounds, params.theta2, params.g, params.g_soft, cfg
+            )
+        )
+        tc0 = time.perf_counter()
+        acc, stats = fn(state.pos, state.mass)
+        float(acc[0, 0])
+        compile_s = time.perf_counter() - tc0
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            acc, stats = fn(state.pos, state.mass)
+            float(acc[0, 0])
+        ms = (time.perf_counter() - t0) / REPS * 1e3
+        emit({
+            "name": name,
+            "n": n_cfg,
+            "ms": round(ms, 1),
+            "steps_per_s": round(1e3 / ms, 3),
+            "compile_s": round(compile_s, 1),
+            "near_fallback": int(stats["near_fallback"]),
+            "frontier_fallback": int(stats["frontier_fallback"]),
+            "accept_dropped": int(stats["accept_dropped"]),
+            "fb_spill": int(stats["fb_spill"]),
+        })
+
+
+if __name__ == "__main__":
+    main()
