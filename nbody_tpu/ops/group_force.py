@@ -104,6 +104,11 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
     ti = target_tile
     while ti > 8 and B % ti:
         ti //= 2
+    # cap ti*tile at the known-good 512 x 2048 footprint (each (ti, tile)
+    # f32 temporary is ti*tile*4 bytes; ~4 live at once must fit the
+    # ~16 MB scoped-VMEM budget)
+    while ti > 8 and ti * tile > (1 << 20):
+        ti //= 2
     ti = min(ti, B)
     assert B % ti == 0, (B, ti)
     dtype = tgt8.dtype

@@ -70,6 +70,11 @@ class BHConfig:
     near_particle_cap: int = 8192  # residual near-field particles per group
     fb_cap: int = 128  # overflow-fallback node slots (self-excluded
     # monopoles); overflow beyond this spills to the plain monopole slab
+    far_particle_cap: int = 2048  # domain-decomposed runs only: residual
+    # near-field particles whose cells lie OUTSIDE this chip's halo slab
+    # (Morton-seam cells) — fetched by request/reply collective, so the cap
+    # bounds the per-chip request buffer (parallel/domain.py)
+    far_cell_cap: int = 512  # cell slots for the far list
     # NOTE on sizing: scenes that straddle an octant plane (the benchmark
     # disc sits exactly on z=0) put half of each group's spatial neighbors
     # at Morton-far indices, so the residual gather path stays material even
@@ -268,12 +273,20 @@ def _group_collect(
     gpos,
     gmass,
     gidx,
+    local_bounds=None,
 ):
     """Traversal (collection only) for ONE group (vmapped over groups).
 
     gpos [B,3], gmass [B], gidx [B] (global sorted indices).  Returns
     (mono slab [accept_cap, 8], near pidx [P], near pvalid [P],
-     wmask [W], wstart, center [3], acc_fb [B,3], stats...)."""
+     far pidx [Pf], far pvalid [Pf], wmask [W], wstart, center [3],
+     acc_fb [B,3], stats...).
+
+    ``local_bounds`` (domain decomposition, parallel/domain.py): the global
+    sorted range [lo, hi) this chip can gather locally (its halo-extended
+    slab).  Leaf cells outside it go to a separate, tightly-capped *far*
+    list fetched by a request/reply collective; with ``local_bounds=None``
+    (single chip) everything is local and the far list is empty."""
     B = cfg.group_size
     L = cfg.max_level
     W = window
@@ -363,16 +376,35 @@ def _group_collect(
         else:
             # leaf level: take unexpandable cells into the exact near field
             # while they fit the particle and cell budgets (order-preserving
-            # prefix); everything beyond degrades to self-excluded monopole
-            counts_slot = jnp.where(expand, ce - cs, 0)
-            include = (
-                expand
-                & (jnp.cumsum(counts_slot) <= cfg.near_particle_cap)
-                & (jnp.cumsum(expand) <= cfg.near_cell_cap)
+            # prefix); everything beyond degrades to self-excluded monopole.
+            # Domain runs split by gather locality: cells inside the chip's
+            # halo slab use the (large) local budget, Morton-far seam cells
+            # the (small) far budget that bounds the collective.
+            if local_bounds is not None:
+                is_local = (cs >= local_bounds[0]) & (ce <= local_bounds[1])
+            else:
+                is_local = jnp.ones_like(expand)
+            exp_l = expand & is_local
+            exp_f = expand & ~is_local
+            cnt_l = jnp.where(exp_l, ce - cs, 0)
+            inc_l = (
+                exp_l
+                & (jnp.cumsum(cnt_l) <= cfg.near_particle_cap)
+                & (jnp.cumsum(exp_l) <= cfg.near_cell_cap)
             )
-            overflowed = expand & ~include
+            if local_bounds is not None:
+                cnt_f = jnp.where(exp_f, ce - cs, 0)
+                inc_f = (
+                    exp_f
+                    & (jnp.cumsum(cnt_f) <= cfg.far_particle_cap)
+                    & (jnp.cumsum(exp_f) <= cfg.far_cell_cap)
+                )
+            else:
+                inc_f = jnp.zeros_like(exp_f)
+            overflowed = expand & ~inc_l & ~inc_f
             n_fallback = jnp.sum(overflowed).astype(jnp.int32)
-            expand = include
+            expand = inc_l
+            expand_far = inc_f
 
         # overflow cells -> fallback slab (self-excluded monopole eval);
         # rows are the raw packed node rows (M, S, cs, ce) _fb_eval expects
@@ -402,37 +434,107 @@ def _group_collect(
             valid = jnp.repeat(pvalid_, branch)
         else:
             near_ids, near_valid, _ = _compact(ids, expand, cfg.near_cell_cap)
+            if local_bounds is not None:
+                far_ids, far_valid, _ = _compact(
+                    ids, expand_far, cfg.far_cell_cap
+                )
 
     # ---- residual near field: boundary cells -> padded particle id list ----
-    P = cfg.near_particle_cap
-    nrow = tree.level_table[L][near_ids]
-    nstart = nrow[:, 4].astype(jnp.int32)
-    nend = nrow[:, 5].astype(jnp.int32)
-    counts = jnp.where(near_valid, nend - nstart, 0).astype(jnp.int32)
-    offs = jnp.cumsum(counts)
-    total = offs[-1]
-
-    # slot k belongs to the c-th near cell, c = #offs <= k — computed with
-    # one scatter + cumsum instead of a P-wide binary search
-    marks = jnp.zeros((P + 1,), jnp.int32).at[jnp.minimum(offs, P)].add(
-        jnp.where(near_valid, 1, 0)
+    pidx, pvalid, total = _ranges_to_pidx(
+        tree.level_table[L], near_ids, near_valid, cfg.near_particle_cap
     )
-    cell_of_k = jnp.cumsum(marks)[:P]
-    cell_of_k = jnp.minimum(cell_of_k, cfg.near_cell_cap - 1)
-    k = jnp.arange(P, dtype=jnp.int32)
-    base = jnp.where(cell_of_k > 0, offs[jnp.maximum(cell_of_k - 1, 0)], 0)
-    pidx = nstart[cell_of_k] + (k - base)
-    pvalid = k < jnp.minimum(total, P)
-    pidx = jnp.where(pvalid, pidx, 0)
+    if local_bounds is not None:
+        pidx_far, pfvalid, total_far = _ranges_to_pidx(
+            tree.level_table[L], far_ids, far_valid, cfg.far_particle_cap
+        )
+    else:
+        pidx_far = jnp.zeros((0,), jnp.int32)
+        pfvalid = jnp.zeros((0,), bool)
+        total_far = jnp.int32(0)
 
     wmask = jnp.cumsum(delta)[:W] > 0
 
     # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval)
     acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
 
-    stats = (a_dropped, f_fallback, n_fallback, fb_spill, total)
-    return (mono[: cfg.accept_cap], pidx, pvalid, wmask, wstart, center,
-            acc_fb, stats)
+    stats = (a_dropped, f_fallback, n_fallback, fb_spill, total + total_far)
+    return (mono[: cfg.accept_cap], pidx, pvalid, pidx_far, pfvalid,
+            wmask, wstart, center, acc_fb, stats)
+
+
+def _ranges_to_pidx(leaf_table, cell_ids, cell_valid, cap):
+    """Expand leaf-cell particle ranges into a padded flat index list.
+    Slot k belongs to the c-th cell, c = #offs <= k — computed with one
+    scatter + cumsum instead of a cap-wide binary search.
+    Returns (pidx [cap], pvalid [cap], total)."""
+    n_cells = cell_ids.shape[0]
+    nrow = leaf_table[cell_ids]
+    nstart = nrow[:, 4].astype(jnp.int32)
+    nend = nrow[:, 5].astype(jnp.int32)
+    counts = jnp.where(cell_valid, nend - nstart, 0).astype(jnp.int32)
+    offs = jnp.cumsum(counts)
+    total = offs[-1]
+
+    marks = jnp.zeros((cap + 1,), jnp.int32).at[jnp.minimum(offs, cap)].add(
+        jnp.where(cell_valid, 1, 0)
+    )
+    cell_of_k = jnp.cumsum(marks)[:cap]
+    cell_of_k = jnp.minimum(cell_of_k, n_cells - 1)
+    k = jnp.arange(cap, dtype=jnp.int32)
+    base = jnp.where(cell_of_k > 0, offs[jnp.maximum(cell_of_k - 1, 0)], 0)
+    pidx = nstart[cell_of_k] + (k - base)
+    pvalid = k < jnp.minimum(total, cap)
+    pidx = jnp.where(pvalid, pidx, 0)
+    return pidx, pvalid, total
+
+
+def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig):
+    """One fused interaction pass: every group's targets vs its assembled
+    source slab.  Backend by ``cfg.eval_mode``: the Pallas group-force
+    kernel on TPU f32 (ops/group_force.py), an XLA contraction (chunked
+    ``lax.map`` over groups to bound the [B, S] intermediates) elsewhere.
+
+    slab [G, S, 8], tgt8 [G, B, 8] (row layout: x, y, z, m, idx, 0, 0, 0),
+    center [G, 3] -> acc [G, B, 3]."""
+    G, B, _ = tgt8.shape
+    dtype = tgt8.dtype
+    S = slab.shape[1]
+    tile = cfg.eval_tile
+    while tile > 128 and tile > S:
+        tile //= 2
+    s_pad = (-S) % tile
+    if s_pad:
+        slab = jnp.concatenate([slab, jnp.zeros((G, s_pad, 8), dtype)],
+                               axis=1)
+        S += s_pad
+
+    if _resolve_eval_mode(cfg, dtype) == "pallas":
+        from nbody_tpu.ops.group_force import group_force_pallas
+
+        return group_force_pallas(
+            tgt8, jnp.swapaxes(slab, 1, 2), g, g_soft, tile=tile
+        )
+
+    CG = cfg.chunk_groups
+    n_chunks = G // CG
+
+    def eval_body(args):
+        sl_c, t8_c, ct_c = args
+
+        def one(sl, t8, ct):
+            return _pair_block(
+                t8[:, :3], t8[:, 4].astype(jnp.int32), sl[:, :3], sl[:, 3],
+                sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
+                g, g_soft, ct if cfg.mxu_blocks else None,
+            )
+
+        return jax.vmap(one)(sl_c, t8_c, ct_c)
+
+    return jax.lax.map(
+        eval_body,
+        (slab.reshape(n_chunks, CG, S, 8), tgt8.reshape(n_chunks, CG, B, 8),
+         center.reshape(n_chunks, CG, 3)),
+    ).reshape(G, B, 3)
 
 
 def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
@@ -503,9 +605,8 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         cp8, ci = args
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
-    (mono, pidx, pvalid, wmask, wstart, center, acc_fb, stats_t) = jax.lax.map(
-        chunk_body, (cgp8, cgi)
-    )
+    (mono, pidx, pvalid, _pf, _pfv, wmask, wstart, center, acc_fb,
+     stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G_my = my_chunks * CG
     W = window
     P = cfg.near_particle_cap
@@ -526,44 +627,8 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     nrows = pmass8[pidx]  # [G, P, 8]
     nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
     slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
-    S = slab.shape[1]
-    tile = cfg.eval_tile
-    while tile > 128 and tile > S:
-        tile //= 2
-    s_pad = (-S) % tile
-    if s_pad:
-        slab = jnp.concatenate(
-            [slab, jnp.zeros((G_my, s_pad, 8), dtype)], axis=1
-        )
-        S += s_pad
-
     tgt8 = cgp8.reshape(G_my, B, 8)
-    mode = _resolve_eval_mode(cfg, dtype)
-    if mode == "pallas":
-        from nbody_tpu.ops.group_force import group_force_pallas
-
-        acc_main = group_force_pallas(
-            tgt8, jnp.swapaxes(slab, 1, 2), g, g_soft, tile=tile
-        )
-    else:
-        cslab = slab.reshape(my_chunks, CG, S, 8)
-        ctr = center.reshape(my_chunks, CG, 3)
-
-        def eval_body(args):
-            sl_c, gp_c, gi_c, ct_c = args
-
-            def one(sl, gpos_, gidx_, ct):
-                return _pair_block(
-                    gpos_, gidx_, sl[:, :3], sl[:, 3],
-                    sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
-                    g, g_soft, ct if cfg.mxu_blocks else None,
-                )
-
-            return jax.vmap(one)(sl_c, gp_c[..., :3], gi_c, ct_c)
-
-        acc_main = jax.lax.map(
-            eval_body, (cslab, cgp8, cgi, ctr)
-        ).reshape(G_my, B, 3)
+    acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
 
     acc_c = acc_main + acc_fb
 

@@ -1,0 +1,330 @@
+"""Memory-scalable multi-chip Barnes-Hut: Morton-range domain decomposition.
+
+Round-1's sharded BH replicated the global sort and all-gathered full
+positions/masses/forces (VERDICT.md #1): per-chip memory was O(N_total), so
+chips bought compute but zero capacity.  This module keeps every per-particle
+array at **O(N/n_dev + halo)** per chip; the only replicated structure is the
+dense level pyramid, O(8^max_level) — constant in N.
+
+The reference analog being replaced is the per-octant parallel build + merge
+(src/llm/barnes_hut.rs:617-677, rayon); here the "octants" are equal-count
+Morton ranges and the merge is a handful of ICI collectives:
+
+1. **Distributed exact-split sort** (histogram sort).  Each chip locally
+   stable-sorts its shard by leaf Morton code, builds a leaf-cell histogram,
+   and all-gathers the histograms (O(8^L), N-independent).  A particle's
+   global sorted position is then closed-form:
+
+       p = cell_start[c] + count_on_lower_chips[c] + local_rank_in_cell
+
+   Because chip k holds the k-th contiguous block of original indices, the
+   (code, chip, local-stable-rank) order equals the (code, original-index)
+   order — the permutation is IDENTICAL to the single-chip stable sort.
+2. **Ring routing** (`_ring_route`): rows travel the ICI ring for n_dev
+   hops; each chip peels off the rows whose sorted slot it owns.  O(n_loc)
+   buffer, N*row_bytes total traffic — no O(N) staging array anywhere.
+3. **Leaf stats**: per-chip segment-sums over its contiguous sorted slice,
+   merged with one psum; pyramid reshape-sums replicated (tiny).
+4. **Halo exchange**: one ppermute each way supplies the window pass —
+   windows of my groups provably live inside [my_start - W, my_end + W).
+5. **Request/reply near-field gather** (`_dist_gather`): boundary-cell
+   particle indices can be Morton-far (octant seams), so each chip
+   all-gathers the index requests (int32) and answers with a psum_scatter —
+   every chip receives exactly its own gathered rows.
+6. Forces come back to original owners through a second ring route (each
+   sorted row carries its original index), so the force array is never
+   all-gathered.
+
+Traversal decision logic and the fused Pallas slab eval are shared with the
+single-chip path (ops/traversal.py: _group_collect / _slab_eval).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops import morton
+from nbody_tpu.ops.tree import _check_range_dtype, _pyramid_tables, grid_bounds
+from nbody_tpu.ops.traversal import (
+    BHConfig,
+    _group_collect,
+    _slab_eval,
+)
+
+
+def _ring_perm(n_dev: int):
+    return [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+
+def _ring_route(rows, dest, axis: str, n_dev: int):
+    """Deliver ``rows[i]`` to global slot ``dest[i]`` of an array sharded in
+    contiguous [n_loc] blocks over ``axis``; returns this chip's block.
+
+    ``dest`` must be a global permutation (each slot receives exactly one
+    row across all chips).  n_dev hops around the ICI ring with an O(n_loc)
+    buffer — the memory-scalable alternative to all_to_all's O(N) staging."""
+    n_loc = rows.shape[0]
+    my_start = jax.lax.axis_index(axis) * n_loc
+    out = jnp.zeros((n_loc + 1, rows.shape[1]), rows.dtype)  # +1 trash row
+    perm = _ring_perm(n_dev)
+    buf_rows, buf_dest = rows, dest
+    for hop in range(n_dev):
+        rel = buf_dest - my_start
+        mine = (rel >= 0) & (rel < n_loc)
+        slot = jnp.where(mine, rel, n_loc)
+        out = out.at[slot].set(buf_rows)
+        if hop < n_dev - 1:
+            buf_rows = jax.lax.ppermute(buf_rows, axis, perm)
+            buf_dest = jax.lax.ppermute(buf_dest, axis, perm)
+    return out[:n_loc]
+
+
+def _dist_gather(rows_loc, idx, axis: str, n_dev: int):
+    """Gather rows at global indices ``idx`` [R] from an array sharded in
+    contiguous [n_loc] blocks: all-gather the (cheap, int32) requests, each
+    chip answers for the indices it owns, one psum_scatter returns exactly
+    this chip's [R] answers.  Comm: O(R * n_dev * 4B) up, O(R * width) down."""
+    n_loc = rows_loc.shape[0]
+    my_start = jax.lax.axis_index(axis) * n_loc
+    req = jax.lax.all_gather(idx, axis, tiled=True)  # [n_dev * R]
+    rel = req - my_start
+    own = (rel >= 0) & (rel < n_loc)
+    got = jnp.where(
+        own[:, None], rows_loc[jnp.clip(rel, 0, n_loc - 1)], 0.0
+    )  # [n_dev * R, width]
+    return jax.lax.psum_scatter(got, axis, scatter_dimension=0, tiled=True)
+
+
+class DomainTree(NamedTuple):
+    """Per-chip slice of the distributed octree (all fields O(n_loc) or
+    O(8^L); the level_table pyramid is the replicated constant)."""
+
+    rows_s: jax.Array  # [n_loc, 8] my sorted rows (x, y, z, m, orig, code,.)
+    ext8: jax.Array  # [n_loc + 2*halo, 8] halo-extended slab, col 4 = global
+    # sorted index (the source-row layout of ops/group_force.py)
+    level_table: Tuple[jax.Array, ...]  # replicated dense pyramid
+    halo: int
+
+
+def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
+                      n_dev: int, halo: int, dim: int = 3) -> DomainTree:
+    """Distributed octree build over this chip's shard (call inside
+    shard_map).  Produces the identical sorted permutation as the
+    single-chip ``build_octree`` (see module docstring, step 1); leaf
+    statistics differ only by psum association order."""
+    n_loc = pos_loc.shape[0]
+    n_tot = n_loc * n_dev
+    _check_range_dtype(n_tot, pos_loc.dtype)
+    assert halo <= n_loc, (halo, n_loc)
+    branch = 1 << dim
+    n_leaf = branch ** max_level
+    gb = grid_bounds(bounds, max_level)
+    my = jax.lax.axis_index(axis)
+    ftype = pos_loc.dtype
+
+    codes = morton.cell_codes(pos_loc[:, :dim], gb, max_level)
+    # dead particles: sentinel code -> global sorted tail, matching no cell
+    codes = jnp.where(mass_loc > 0, codes, jnp.int32(n_leaf))
+    if dim == 2:
+        pos_loc = jnp.concatenate(
+            [pos_loc, jnp.zeros((n_loc, 1), ftype)], axis=1
+        )
+
+    # 1. local stable sort; original global index rides as payload
+    orig = my * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+    code_s, orig_s, xs, ys, zs, ms = jax.lax.sort(
+        (codes, orig, pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2], mass_loc),
+        num_keys=1,
+    )
+
+    # 2. exact global sorted position from the histogram (n_leaf + 1 cells:
+    #    the sentinel cell collects the dead tail)
+    seg_h = partial(
+        jax.ops.segment_sum,
+        segment_ids=code_s,
+        num_segments=n_leaf + 1,
+        indices_are_sorted=True,
+    )
+    h = seg_h(jnp.ones_like(code_s))
+    hall = jax.lax.all_gather(h, axis)  # [n_dev, 8^L + 1] — N-independent
+    total = hall.sum(axis=0)
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), total.dtype), jnp.cumsum(total)[:-1]]
+    )
+    on_lower = jnp.where(
+        (jnp.arange(n_dev) < my)[:, None], hall, 0
+    ).sum(axis=0)
+    local_start = jnp.concatenate(
+        [jnp.zeros((1,), h.dtype), jnp.cumsum(h)[:-1]]
+    )
+    j = jnp.arange(n_loc, dtype=h.dtype)
+    p = (cell_start[code_s] + on_lower[code_s]
+         + (j - local_start[code_s])).astype(jnp.int32)
+
+    # 3. route rows to their sorted owners (orig/code as exact f32 ints —
+    #    guarded by _check_range_dtype; 8^8 == 2^24 is still exact)
+    zero = jnp.zeros((n_loc,), ftype)
+    rows = jnp.stack(
+        [xs, ys, zs, ms, orig_s.astype(ftype), code_s.astype(ftype),
+         zero, zero], axis=1,
+    )
+    rows_s = _ring_route(rows, p, axis, n_dev)  # [n_loc, 8] my sorted slice
+
+    # 4. leaf stats: contiguous-slice segment-sums merged by one psum
+    code_s_my = rows_s[:, 5].astype(jnp.int32)
+    seg = partial(
+        jax.ops.segment_sum,
+        segment_ids=code_s_my,
+        num_segments=n_leaf,  # sentinel rows fall out of range -> dropped
+        indices_are_sorted=True,
+    )
+    leaf_mass = jax.lax.psum(seg(rows_s[:, 3]), axis)
+    leaf_mpos = jax.lax.psum(seg(rows_s[:, :3] * rows_s[:, 3:4]), axis)
+    leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
+
+    _, _, level_table, _ = _pyramid_tables(
+        leaf_mass, leaf_mpos, leaf_counts, max_level, branch, ftype
+    )
+
+    # 5. halo exchange for the window pass; global edges are zero-padded
+    #    (ring wraparound must not leak the far end of the sort)
+    perm = _ring_perm(n_dev)
+    from_left = jax.lax.ppermute(rows_s[n_loc - halo:], axis, perm)
+    from_right = jax.lax.ppermute(
+        rows_s[:halo], axis, [(d, s) for (s, d) in perm]
+    )
+    from_left = jnp.where(my == 0, 0.0, from_left)
+    from_right = jnp.where(my == n_dev - 1, 0.0, from_right)
+    ext = jnp.concatenate([from_left, rows_s, from_right], axis=0)
+    ext_idx = (my * n_loc - halo
+               + jnp.arange(n_loc + 2 * halo, dtype=jnp.int32))
+    ext8 = ext.at[:, 4].set(ext_idx.astype(ftype))
+
+    return DomainTree(rows_s=rows_s, ext8=ext8, level_table=level_table,
+                      halo=halo)
+
+
+def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
+                 cfg: BHConfig, axis: str, n_dev: int):
+    """Distributed Barnes-Hut acceleration for this chip's shard (call
+    inside shard_map).  Returns (acc [n_loc, 3] in ORIGINAL particle order
+    for this shard, stats dict) — no array in the pipeline exceeds
+    O(n_loc + halo) except the O(8^L) pyramid."""
+    n_loc = pos_loc.shape[0]
+    n_tot = n_loc * n_dev
+    B = cfg.group_size
+    CG = cfg.chunk_groups
+    assert n_loc % (B * CG) == 0, (n_loc, B, CG)
+    dtype = pos_loc.dtype
+    my = jax.lax.axis_index(axis)
+    my_start = my * n_loc
+
+    # windows are capped to the shard size; halo = window guarantees every
+    # clipped window [wstart, wstart + W) of my groups lies inside
+    # [my_start - W, my_start + n_loc + W)
+    window = min(cfg.window, n_loc)
+    halo = window
+
+    tree = build_domain_tree(pos_loc, mass_loc, bounds, cfg.max_level,
+                             axis, n_dev, halo, dim=cfg.dim)
+
+    w = bounds.width
+    cell_w2 = tuple(
+        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
+    )
+
+    gidx_loc = my_start + jnp.arange(n_loc, dtype=jnp.int32)
+    tgt8 = tree.rows_s.at[:, 4].set(gidx_loc.astype(dtype))
+
+    # leaf cells inside [local_lo, local_hi) gather from the halo slab;
+    # the rest (Morton-seam cells) go through the capped far collective
+    local_lo = my_start - halo
+    local_hi = my_start + n_loc + halo
+    collect = partial(
+        _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
+        local_bounds=(local_lo, local_hi),
+    )
+    vm_collect = jax.vmap(
+        lambda gp, gm, gi: collect(gp, gm, gi)
+    )
+
+    G_my = n_loc // B
+    n_chunks = G_my // CG
+    ct8 = tgt8.reshape(n_chunks, CG, B, 8)
+    ci = gidx_loc.reshape(n_chunks, CG, B)
+
+    def chunk_body(args):
+        cp8, cidx = args
+        return vm_collect(cp8[..., :3], cp8[..., 3], cidx)
+
+    (mono, pidx, pvalid, pidx_f, pfvalid, wmask, wstart, center, acc_fb,
+     stats_t) = jax.lax.map(chunk_body, (ct8, ci))
+    P = cfg.near_particle_cap
+    Pf = cfg.far_particle_cap
+    mono = mono.reshape(G_my, cfg.accept_cap, 8)
+    pidx = pidx.reshape(G_my, P)
+    pvalid = pvalid.reshape(G_my, P)
+    pidx_f = pidx_f.reshape(G_my, Pf)
+    pfvalid = pfvalid.reshape(G_my, Pf)
+    wmask = wmask.reshape(G_my, window)
+    wstart = wstart.reshape(G_my)
+    center = center.reshape(G_my, 3)
+    acc_fb = acc_fb.reshape(G_my, B, 3)
+    adrop, fdrop, ndrop, fbspill, ntot = (s.reshape(-1) for s in stats_t)
+
+    # ---- slab assembly ----
+    # window rows from the halo-extended local slab (one dynamic_slice per
+    # group; coverage proof in the halo comment above)
+    wstart_ext = wstart - (my_start - halo)
+    wrows = jax.vmap(
+        lambda ws: jax.lax.dynamic_slice(
+            tree.ext8, (ws, jnp.int32(0)), (window, 8))
+    )(wstart_ext)
+    wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
+
+    # local near rows: plain gather from the halo slab (collect guaranteed
+    # their cells lie inside it)
+    nrows = tree.ext8[jnp.clip(pidx - local_lo, 0, n_loc + 2 * halo - 1)]
+    nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
+    # the halo slab's idx column is already the global sorted index, but
+    # clip-clamped invalid slots must not alias a real source row
+    nrows = nrows.at[:, :, 4].set(
+        jnp.where(pvalid, pidx.astype(dtype), -1.0)
+    )
+
+    # far near rows (Morton-seam cells): request/reply over the mesh —
+    # the ONLY per-particle collective whose size is not O(n_loc), bounded
+    # by far_particle_cap per group
+    frows4 = _dist_gather(
+        tree.rows_s[:, :4], pidx_f.reshape(-1), axis, n_dev
+    ).reshape(G_my, Pf, 4)
+    frows = jnp.concatenate(
+        [frows4, jnp.where(pfvalid, pidx_f.astype(dtype), -1.0)[..., None],
+         jnp.zeros((G_my, Pf, 3), dtype)], axis=2,
+    )
+    frows = frows.at[:, :, 3].set(jnp.where(pfvalid, frows[:, :, 3], 0.0))
+
+    slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
+    acc_sorted = (_slab_eval(slab, tgt8.reshape(G_my, B, 8), center,
+                             g, g_soft, cfg)
+                  + acc_fb).reshape(n_loc, 3)
+
+    # ---- route forces back to original owners (no force all-gather) ----
+    orig_dest = tree.rows_s[:, 4].astype(jnp.int32)
+    acc4 = jnp.concatenate(
+        [acc_sorted, jnp.zeros((n_loc, 1), dtype)], axis=1
+    )
+    acc = _ring_route(acc4, orig_dest, axis, n_dev)[:, :3]
+
+    stats = {
+        "accept_dropped": jnp.sum(adrop),
+        "frontier_fallback": jnp.sum(fdrop),
+        "near_fallback": jnp.sum(ndrop),
+        "fb_spill": jnp.sum(fbspill),
+        "near_totals": ntot.reshape(-1),
+    }
+    return acc, stats

@@ -110,6 +110,18 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
                 0, n_dev, hop, (acc0, pos, mass_eff)
             )
         elif strategy == "bh":
+            # memory-scalable Morton-range domain decomposition: per-chip
+            # arrays stay O(N/n_dev + halo); forces come back by ring route
+            # (parallel/domain.py — replaces the round-1 replicated path)
+            from nbody_tpu.ops.traversal import BHConfig
+            from nbody_tpu.parallel.domain import domain_accel
+
+            cfg = bh_config or BHConfig()
+            acc, _stats = domain_accel(
+                pos, mass_eff, params.bounds, params.theta2, params.g,
+                params.g_soft, cfg, axis, n_dev,
+            )
+        elif strategy == "bh-replicated":
             from nbody_tpu.ops.traversal import BHConfig, traverse_tree
             from nbody_tpu.ops.tree import build_octree_sharded
 
@@ -187,6 +199,67 @@ def make_sharded_run(mesh: Mesh, integrator="leapfrog", strategy="allgather",
     return run
 
 
+def make_sharded_energy(mesh: Mesh, tile: int = 1024):
+    """Jitted total-energy over the mesh: KE is a local reduction + psum;
+    the softened pair potential streams source shards around the ICI ring
+    (each unordered pair counted once via global-id ordering), so per-chip
+    memory stays O(N/chips * tile)."""
+    axis = PARTICLE_AXIS
+    n_dev = mesh.shape[axis]
+
+    def local_energy(state: ParticleState, params: SimParams):
+        my = jax.lax.axis_index(axis)
+        n_loc = state.pos.shape[0]
+        m = jnp.where(state.alive, state.mass, jnp.zeros_like(state.mass))
+        ke = 0.5 * jnp.sum(m * jnp.sum(state.vel * state.vel, axis=-1))
+        eps2 = params.g_soft * params.g_soft
+        row_ids = my * n_loc + jnp.arange(n_loc)
+
+        t = tile if n_loc % tile == 0 else (128 if n_loc % 128 == 0 else n_loc)
+        pos_t = state.pos.reshape(n_loc // t, t, -1)
+        m_t = m.reshape(n_loc // t, t)
+        ids_t = row_ids.reshape(n_loc // t, t)
+
+        def pe_vs(src_pos, src_m, src_ids):
+            def body(args):
+                pt, mt, it = args
+                d = pt[:, None, :] - src_pos[None, :, :]
+                r2 = jnp.sum(d * d, axis=-1) + eps2
+                take = (src_ids[None, :] > it[:, None]) & (r2 > 0.0)
+                inv_r = jax.lax.rsqrt(jnp.where(take, r2, 1.0))
+                pm = mt[:, None] * src_m[None, :]
+                return -params.g * jnp.sum(jnp.where(take, pm * inv_r, 0.0))
+
+            return jnp.sum(jax.lax.map(body, (pos_t, m_t, ids_t)))
+
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def hop(k, carry):
+            pe, src_pos, src_m = carry
+            src_owner = (my - k) % n_dev
+            src_ids = src_owner * n_loc + jnp.arange(n_loc)
+            pe = pe + pe_vs(src_pos, src_m, src_ids)
+            src_pos = jax.lax.ppermute(src_pos, axis, perm)
+            src_m = jax.lax.ppermute(src_m, axis, perm)
+            return pe, src_pos, src_m
+
+        pe, _, _ = jax.lax.fori_loop(
+            0, n_dev, hop, (jnp.zeros((), state.pos.dtype), state.pos, m)
+        )
+        return jax.lax.psum(ke + pe, axis)
+
+    state_specs = ParticleState(
+        pos=P(axis), vel=P(axis), acc=P(axis), mass=P(axis), alive=P(axis),
+        time=P(),
+    )
+    params_specs = jax.tree.map(lambda _: P(), SimParams.create())
+
+    return jax.jit(jax.shard_map(
+        local_energy, mesh=mesh, in_specs=(state_specs, params_specs),
+        out_specs=P(), check_vma=False,
+    ))
+
+
 class ShardedSimulation:
     """Multi-chip analog of ``nbody_tpu.api.Simulation`` — same surface,
     particle arrays sharded over a device mesh."""
@@ -224,7 +297,11 @@ class ShardedSimulation:
             from nbody_tpu.ops.traversal import BHConfig
 
             bh_config = BHConfig(**(engine_options or {}))
-            strategy = "bh"
+            # "bh" = Morton-range domain decomposition (O(N/chips + halo)
+            # per chip); "bh-replicated" = round-1 all-gather path (kept for
+            # A/B and for configs with groups larger than a shard)
+            if strategy not in ("bh", "bh-replicated"):
+                strategy = "bh"
             pad_multiple = bh_config.group_size * bh_config.chunk_groups * n_dev
         elif engine in ("brute", "brute-pallas"):
             pad_multiple = 128 * n_dev
@@ -252,6 +329,9 @@ class ShardedSimulation:
             ),
             rep,
         )
+        self._engine_name = engine
+        self._engine_options = engine_options
+        self._energy = None
         self._step = make_sharded_step(self.mesh, integrator, strategy,
                                        bh_config=bh_config)
         self._run = make_sharded_run(self.mesh, integrator, strategy,
@@ -310,7 +390,132 @@ class ShardedSimulation:
         return self._state.get_points()
 
     def energy(self) -> float:
-        from nbody_tpu.core.energy import total_energy
+        """Total energy with the pair-potential sum computed IN PLACE on the
+        mesh: a ppermute ring streams source shards past each chip's rows
+        (O(N/chips) per-chip memory, same shape as the 'ring' force
+        strategy) — round 1 replicated the whole state onto every device
+        first (VERDICT.md #3)."""
+        if self._energy is None:
+            self._energy = make_sharded_energy(self.mesh)
+        return float(self._energy(self._state, self._params))
 
-        replicated = jax.device_put(self._state, NamedSharding(self.mesh, P()))
-        return float(total_energy(replicated, self._params))
+    # -- particle management (reference src/shared.rs:91-92) ---------------
+
+    def add_point(self, pos, vel, mass):
+        """Occupy the first dead slot.  The masked .at[] update compiles to
+        a scatter on the owning shard; shardings are reasserted so the step
+        function's layout assumptions never degrade."""
+        self._state = self._reshard(self._state.add_point(pos, vel, mass))
+        return self
+
+    def remove_point(self, index: int):
+        self._state = self._reshard(self._state.remove_point(index))
+        return self
+
+    def _reshard(self, state: ParticleState) -> ParticleState:
+        sharding = NamedSharding(self.mesh, P(PARTICLE_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        return ParticleState(
+            pos=jax.device_put(state.pos, sharding),
+            vel=jax.device_put(state.vel, sharding),
+            acc=jax.device_put(state.acc, sharding),
+            mass=jax.device_put(state.mass, sharding),
+            alive=jax.device_put(state.alive, sharding),
+            time=jax.device_put(state.time, rep),
+        )
+
+    # -- engine inspection --------------------------------------------------
+
+    def aux(self) -> dict:
+        """Tree boxes / traversal stats for visualization.  Inspection runs
+        on gathered host data (viz payloads are depth-clamped anyway); the
+        simulation arrays stay sharded."""
+        from nbody_tpu.engines import get_engine
+
+        eng = get_engine(self._engine_name,
+                         **(self._engine_options or {}))
+        if eng.aux is None:
+            return {}
+        host = jax.device_get(self._state)
+        st = ParticleState(*[jnp.asarray(getattr(host, f)) for f in
+                             ("pos", "vel", "acc", "mass", "alive", "time")])
+        return eng.aux(st.pos, st.effective_mass(), self._params)
+
+    # -- checkpointing (sharding-aware; closes VERDICT.md #3) ---------------
+
+    def save(self, path: str, format: str = "orbax"):
+        """format='orbax': arrays are written WITH their shardings (orbax
+        handles sharded jax.Arrays natively — the multi-host-safe path).
+        format='pickle': gathers to host first (single-host convenience)."""
+        payload = {
+            "state": dataclasses.asdict(self._state),
+            "params": {
+                "g": self._params.g, "g_soft": self._params.g_soft,
+                "dt": self._params.dt, "theta2": self._params.theta2,
+                "bounds_center": self._params.bounds.center,
+                "bounds_half_width": self._params.bounds.half_width,
+            },
+        }
+        if format == "orbax":
+            import os
+
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), payload, force=True)
+            ckptr.wait_until_finished()
+            return
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(payload), f)
+
+    def load(self, path: str, format: str = "orbax"):
+        if format == "orbax":
+            import os
+
+            import orbax.checkpoint as ocp
+
+            # restore DIRECTLY into the current sharded layout: the target
+            # tree of ShapeDtypeStructs carries the shardings
+            target = {
+                "state": dataclasses.asdict(self._state),
+                "params": {
+                    "g": self._params.g, "g_soft": self._params.g_soft,
+                    "dt": self._params.dt, "theta2": self._params.theta2,
+                    "bounds_center": self._params.bounds.center,
+                    "bounds_half_width": self._params.bounds.half_width,
+                },
+            }
+            abstract = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                               sharding=a.sharding),
+                target,
+            )
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.abspath(path), abstract)
+        else:
+            import pickle
+
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+        st = payload["state"]
+        self._state = self._reshard(ParticleState(
+            pos=jnp.asarray(st["pos"]), vel=jnp.asarray(st["vel"]),
+            acc=jnp.asarray(st["acc"]), mass=jnp.asarray(st["mass"]),
+            alive=jnp.asarray(st["alive"]), time=jnp.asarray(st["time"]),
+        ))
+        pr = payload["params"]
+        from nbody_tpu.core.state import Bounds
+
+        self._params = jax.device_put(
+            SimParams(
+                g=jnp.asarray(pr["g"]), g_soft=jnp.asarray(pr["g_soft"]),
+                dt=jnp.asarray(pr["dt"]), theta2=jnp.asarray(pr["theta2"]),
+                bounds=Bounds(center=jnp.asarray(pr["bounds_center"]),
+                              half_width=jnp.asarray(pr["bounds_half_width"])),
+            ),
+            NamedSharding(self.mesh, P()),
+        )
+        self._initial = self._state
+        return self

@@ -60,6 +60,20 @@ CONFIGS = {
     "pl_g4_131k_near16k": dict(eval_mode="pallas", n=131072,
                                near_particle_cap=16384, near_cell_cap=4096,
                                **G4),
+    # L=8: smaller leaves cut near totals 8x; the build-side cost (16.7M-cell
+    # pyramid) lost under the XLA eval (round 1) but the kernel shifts the
+    # balance
+    "pl_g8_L8": dict(eval_mode="pallas", max_level=8, **G8),
+    "pl_g8_L8_near16k": dict(eval_mode="pallas", max_level=8,
+                             near_particle_cap=16384, near_cell_cap=4096,
+                             **G8),
+    "pl_g8_L8_pad1024": dict(eval_mode="pallas", max_level=8,
+                             window_pad=1024, **G8),
+    # 2M flagship probes
+    "pl_2m_L7": dict(eval_mode="pallas", n=1 << 21, **G8),
+    "pl_2m_L8": dict(eval_mode="pallas", n=1 << 21, max_level=8, **G8),
+    # accuracy lever: start shallower only if free
+    "pl_g8_fb512": dict(eval_mode="pallas", fb_cap=512, **G8),
 }
 
 
@@ -101,7 +115,7 @@ def main():
         opts = dict(opts)
         n_cfg = opts.pop("n", N)
         state = get_state(n_cfg)
-        cfg = BHConfig(max_level=7, **opts)
+        cfg = BHConfig(max_level=opts.pop("max_level", 7), **opts)
         fn = jax.jit(
             lambda p, m, cfg=cfg: bh_accel(
                 p, m, params.bounds, params.theta2, params.g, params.g_soft, cfg

@@ -54,10 +54,19 @@ def test_ring_matches_single():
 
 
 def test_sharded_bh_matches_single():
-    ps, p1, sh, si = run_pair("bh", steps=5, **BH_OPTS)
+    # capacity 2048 -> 256-particle shards: the 128+2*64 window fits each
+    # shard, so the domain-decomposed split is identical to single-chip
+    ps, p1, sh, si = run_pair("bh", steps=5, capacity=2048, **BH_OPTS)
     assert sh.n_alive == si.n_alive
     # same tree, same traversal parameters -> identical up to collective
     # reduction order
+    np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_bh_replicated_strategy_matches_single():
+    """The round-1 all-gather path stays available as 'bh-replicated'."""
+    ps, p1, sh, si = run_pair("bh", "bh-replicated", steps=5, **BH_OPTS)
+    assert sh.n_alive == si.n_alive
     np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
 
 
@@ -124,3 +133,71 @@ def test_sharded_settings_and_reset():
     sim.reset()
     assert sim.elapsed == 0.0
     assert sim.n_alive == 301
+
+
+def test_sharded_energy_matches_replicated():
+    """Ring pair-potential on the mesh == single-device total_energy."""
+    from nbody_tpu.core.energy import total_energy
+
+    pos, vel, mass = self_gravitating_disc(400, seed=4)
+    sim = ShardedSimulation(pos, vel, mass, engine="brute", n_devices=8,
+                            dt=3e-2, g_soft=0.02, dtype=jnp.float64)
+    single = Simulation(pos, vel, mass, engine="brute", dt=3e-2, g_soft=0.02,
+                        dtype=jnp.float64)
+    np.testing.assert_allclose(sim.energy(), single.energy(),
+                               rtol=1e-12, atol=1e-12)
+    sim.run(3)
+    single.run(3)
+    np.testing.assert_allclose(sim.energy(), single.energy(),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_add_remove_point():
+    pos, vel, mass = self_gravitating_disc(100, seed=5)
+    sim = ShardedSimulation(pos, vel, mass, engine="brute", n_devices=8,
+                            dt=3e-2, g_soft=0.02, dtype=jnp.float64,
+                            capacity=256)
+    n0 = sim.n_alive
+    sim.add_point([0.5, 0.5, 0.0], [0.0, 0.0, 0.0], 1e-3)
+    assert sim.n_alive == n0 + 1
+    sim.remove_point(0)
+    assert sim.n_alive == n0
+    # still steps fine afterwards, arrays still sharded
+    sim.run(2)
+    assert sim.elapsed > 0
+    assert not sim.state.pos.sharding.is_fully_replicated
+
+
+def test_sharded_save_load_roundtrip(tmp_path):
+    pos, vel, mass = self_gravitating_disc(200, seed=6)
+    sim = ShardedSimulation(pos, vel, mass, engine="brute", n_devices=8,
+                            dt=3e-2, g_soft=0.02, dtype=jnp.float64)
+    sim.run(3)
+
+    for fmt, path in (("orbax", tmp_path / "ck_orbax"),
+                      ("pickle", tmp_path / "ck.pkl")):
+        want_pos, _, _, _ = sim.get_points()
+        want_t = sim.elapsed
+        sim.save(str(path), format=fmt)
+        sim.run(4)  # diverge
+        sim.load(str(path), format=fmt)
+        got_pos, _, _, _ = sim.get_points()
+        np.testing.assert_array_equal(got_pos, want_pos)
+        assert sim.elapsed == want_t
+        # restored arrays keep the particle-axis sharding
+        assert not sim.state.pos.sharding.is_fully_replicated
+        sim.run(1)  # still steppable
+
+
+def test_sharded_aux_tree_boxes():
+    opts = dict(max_level=4, group_size=128, subgroups=8, window_pad=32,
+                near_particle_cap=512, near_cell_cap=256, start_level=1)
+    pos, vel, mass = self_gravitating_disc(300, seed=7)
+    sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                            engine_options=opts, dt=3e-2, g_soft=0.02,
+                            theta2=1.0, dtype=jnp.float64, capacity=1024)
+    aux = sim.aux()
+    assert "tree_boxes" in aux
+    mins, maxs, count = aux["tree_boxes"][0]
+    assert count >= 1
+    assert aux["accept_dropped"] == 0
