@@ -27,6 +27,11 @@ import jax.numpy as jnp
 N = 65536
 STEPS = 25
 RUST_BF_64K_STEPS_PER_S = 0.076  # measured: native/oracle.cpp serial brute
+# v5e published peak: 197 TFLOP/s bf16 (MXU).  The brute kernel is
+# rsqrt/VPU-bound f32, so MFU vs the bf16 MXU peak is a deliberately harsh
+# denominator — it answers "how much single-chip headroom remains" (VERDICT
+# round-1 #10), not "is the VPU saturated".
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -62,12 +67,18 @@ def main():
 
     steps_per_s = STEPS * reps / elapsed
     pairs_per_s = steps_per_s * float(N) * float(N)
+    # achieved FLOP/s from the kernel's own cost model (18 flops/pair,
+    # ops/pairwise.py CostEstimate) — the same accounting perf_benchmark.py
+    # uses via XLA cost analysis
+    achieved_flops = pairs_per_s * 18.0
     result = {
         "metric": "brute_force_steps_per_s_n64k",
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / RUST_BF_64K_STEPS_PER_S, 1),
         "pairs_per_s": f"{pairs_per_s:.3e}",
+        "achieved_tflops": round(achieved_flops / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(achieved_flops / V5E_PEAK_FLOPS, 4),
         "n": N,
         "engine": engine.name,
         "backend": jax.default_backend(),

@@ -82,26 +82,48 @@ def make_bh_lazy_engine(name: str = "bh-lazy", rebuild_frac: float = 0.3,
     engine, src/llm/barnes_hut_midterm.rs): node stats are refreshed in
     place each step (no argsort); a full rebuild triggers only when
     ``rebuild_frac`` of the alive particles have strayed more than
-    ``move_cells`` leaf cells from their frozen cell."""
+    ``move_cells`` leaf cells from their frozen cell.
+
+    PARITY DEMONSTRATION, NOT RECOMMENDED: measured slower than ``bh`` at
+    every N/dt on TPU v5e (results/sweep_lazy_r2.jsonl) — the refresh still
+    pays the pos[order] re-gathers, which cost nearly as much as the
+    payload-carrying sort they skip.  Kept because the reference ships the
+    midterm engine; use ``bh``."""
     from nbody_tpu.ops.traversal import bh_accel_lazy
     from nbody_tpu.ops.tree import build_octree
 
     cfg = BHConfig(**options)
+    # same capacity-adaptive group preset as the eager engine (round-1
+    # comparisons pitted lazy@4096 against bh@8192 at N=1M — not a fair race)
+    auto_group = not any(
+        k in options for k in ("group_size", "subgroups", "chunk_groups")
+    )
+
+    def fit(pos):
+        import dataclasses
+
+        c = BHConfig.auto_for(pos.shape[0], **options) if auto_group else cfg
+        d = pos.shape[1]
+        return c if d == c.dim else dataclasses.replace(c, dim=d)
 
     def init_carry(pos, mass, params):
-        return build_octree(pos, mass, params.bounds, cfg.max_level)
+        c = fit(pos)
+        return build_octree(pos, mass, params.bounds, c.max_level, dim=c.dim,
+                            quad=c.multipole == "quad",
+                            quad_leaf=c.quad_leaf)
 
     def force_carry(pos, mass, params, tree):
         acc, _stats, tree = bh_accel_lazy(
             pos, mass, params.bounds, params.theta2, params.g, params.g_soft,
-            tree, cfg, rebuild_frac, move_cells,
+            tree, fit(pos), rebuild_frac, move_cells,
         )
         return acc, tree
 
     def force(pos, mass, params):
         # stateless fallback: build + traverse
         acc, _stats = bh_accel(
-            pos, mass, params.bounds, params.theta2, params.g, params.g_soft, cfg
+            pos, mass, params.bounds, params.theta2, params.g, params.g_soft,
+            fit(pos),
         )
         return acc
 

@@ -83,6 +83,115 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
         out_ref[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
 
 
+def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
+    """Quadrupole slab eval: same tiling/accumulation shape as ``_kernel``,
+    16-wide source rows (x, y, z, M, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz, 0...).
+
+    Force law (e = source - target, r² = |e|² + ε², traceless Q):
+        a = G [ M e / r³  -  (Q e) / r⁵  +  (5/2)(eᵀ Q e) e / r⁷ ]
+    — the COM-centered multipole expansion through quadrupole order (the
+    dipole vanishes identically; numerically verified against direct sums
+    in tests/test_quadrupole.py).  Accepted nodes never contain a target
+    (theta acceptance needs rmin > 0), so no self-skip index test is
+    needed; fb-spill rows arrive with Q = 0 (plain monopole)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.any(src_ref[3:4, :] != 0.0))
+    def _():
+        eps2 = scal_ref[0, 0]
+
+        tx = tgt_ref[:, 0:1]
+        ty = tgt_ref[:, 1:2]
+        tz = tgt_ref[:, 2:3]
+        ex = src_ref[0:1, :] - tx  # (B, TILE)
+        ey = src_ref[1:2, :] - ty
+        ez = src_ref[2:3, :] - tz
+        m = src_ref[3:4, :]
+        qxx = src_ref[4:5, :]
+        qyy = src_ref[5:6, :]
+        qzz = src_ref[6:7, :]
+        qxy = src_ref[7:8, :]
+        qxz = src_ref[8:9, :]
+        qyz = src_ref[9:10, :]
+
+        r2 = ex * ex + ey * ey + ez * ez + eps2
+        skip = r2 <= 0.0
+        inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+        ir2 = inv_r * inv_r
+        ir3 = ir2 * inv_r
+        ir5 = ir3 * ir2
+        ir7 = ir5 * ir2
+        ux = qxx * ex + qxy * ey + qxz * ez
+        uy = qxy * ex + qyy * ey + qyz * ez
+        uz = qxz * ex + qyz * ey + qzz * ez
+        qe = ex * ux + ey * uy + ez * uz
+        w = jnp.where(skip, 0.0, m * ir3 + 2.5 * qe * ir7)
+        ir5 = jnp.where(skip, 0.0, ir5)
+
+        out_ref[:, 0:1] += jnp.sum(w * ex - ir5 * ux, axis=1, keepdims=True)
+        out_ref[:, 1:2] += jnp.sum(w * ey - ir5 * uy, axis=1, keepdims=True)
+        out_ref[:, 2:3] += jnp.sum(w * ez - ir5 * uz, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "target_tile",
+                                              "interpret"))
+def quad_force_pallas(tgt8, qslabT, g, g_soft, *, tile: int = 2048,
+                      target_tile: int = 512, interpret: bool = False):
+    """tgt8 [G, B, 8] target rows, qslabT [G, 16, A] transposed quadrupole
+    slab -> acc [G, B, 3].  Same grid/accumulation structure as
+    ``group_force_pallas``; ~31 extra VPU flops/pair buy one multipole
+    order of accuracy (monopole error ~(w/d)², quadrupole ~(w/d)³ at the
+    same theta)."""
+    G, B, _ = tgt8.shape
+    A = qslabT.shape[2]
+    assert A % tile == 0, (tgt8.shape, qslabT.shape, tile)
+    ti = target_tile
+    while ti > 8 and B % ti:
+        ti //= 2
+    # the quad kernel keeps ~6 (ti, tile) f32 temporaries live (e, u, qe, w)
+    # vs the pair kernel's ~4 — 512 x 2048 blew the 16 MB scoped-VMEM budget
+    # at 25.4 MB on v5e, so cap the block footprint one notch lower
+    while ti > 8 and ti * tile > (1 << 18):
+        ti //= 2
+    ti = min(ti, B)
+    assert B % ti == 0, (B, ti)
+    dtype = tgt8.dtype
+    scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
+    bt = B // ti
+
+    out = pl.pallas_call(
+        _quad_kernel,
+        grid=(G, bt, A // tile),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda gi, bi, j: (gi, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(G) * int(B) * int(A) * 44,
+            bytes_accessed=int(G) * (int(B) * 64 + int(A) * 64 * int(bt)),
+            transcendentals=int(G) * int(B) * int(A),
+        ),
+        interpret=interpret,
+    )(scal, tgt8.reshape(G * B, 8), qslabT.reshape(G * 16, A))
+    return (out[:, :3] * g).reshape(G, B, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "target_tile",
                                               "interpret"))
 def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,

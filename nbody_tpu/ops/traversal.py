@@ -48,7 +48,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from nbody_tpu.ops.tree import LinearOctree, build_octree
+from nbody_tpu.ops.tree import LinearOctree, build_octree, level_offset
 
 
 @dataclass(frozen=True)
@@ -94,12 +94,53 @@ class BHConfig:
     # (ops/group_force.py), "xla" = slab contraction, "auto" = pallas on
     # TPU f32, xla otherwise (CPU tests, f64)
     eval_tile: int = 2048  # pallas kernel source-tile width
+    multipole: str = "quad"  # "mono" = classic Barnes-Hut monopoles;
+    # "quad" = traceless quadrupole moments on the accepted-node slab —
+    # one order of (w/d) more accurate at the same theta (p99 relative
+    # force error at theta^2=1, N=1M: 7.2e-2 mono vs 3.0e-2 at the
+    # quad defaults, median 4.4e-3 vs 8.3e-4, max 3.95 vs 0.73 —
+    # results/accuracy_1m.jsonl quad3/quad2 rows).  The reference is
+    # monopole-only (src/manual/barnes_hut.rs:192); quad is where the TPU
+    # design spends its surplus FLOPs: ~31 extra flops/pair riding a dense
+    # VPU kernel (ops/group_force.py) for a measured 4% step cost at 1M
+    # (2.69 vs 2.80 force-only steps/s, tune_bh_r2.jsonl quad3_g8).
+    quad_tile: int = 512  # quad-kernel source tile: SMALL on purpose — the
+    # accept slab is prefix-compacted and mostly padding, and the kernel
+    # skips whole empty tiles, so a 512-wide tile prunes ~2-4x of the
+    # accept_cap eval that a 2048 tile would pay in full
+    quad_leaf: bool = False  # True additionally builds/evaluates
+    # quadrupoles for LEAF cells: measured pure cost (1M: 2.40 vs 2.69
+    # steps/s) for identical p99/median accuracy (accuracy_1m.jsonl quad2
+    # vs quad3 rows) — accepted leaves are individually tiny force
+    # contributors, and the leaf level is the quad build's largest
+    # segment-sum + reduction stage (8^L cells)
+    fb_quad: bool = False  # quadrupole (self-excluded) on the fb overflow
+    # slab too.  Default OFF: measured ~27 ms/step at N=1M for an
+    # accuracy effect of exactly zero on the p99 tail (accuracy_1m.jsonl:
+    # quad_auto vs quad_fb512 p99 identical to 7 digits) — the tail is
+    # theta-truncation of accepted nodes, not fallback error, and inside
+    # an overflowed cell the multipole expansion is marginal anyway.
+    accept_margin: float = 0.8  # multiplies theta^2 in the acceptance test
+    # (margin < 1 opens more nodes).  The runtime theta stays the exact
+    # reference semantic; this static knob is the engine's documented
+    # safety factor.  Default 0.8: measured FREE at 1M/2M (2.402 vs
+    # 2.400 steps/s, 1.091 vs 1.091 — the near caps absorb the extra
+    # opens) while cutting the quad p99 tail 1.9x (5.6e-2 -> 3.0e-2,
+    # accuracy_1m.jsonl quad2_auto vs quad2_m08).  Set 1.0 for the
+    # literal reference acceptance rule.
     frontier_schedule: tuple = None  # per-level frontier slot counts for
     # levels start_level+1..max_level; None = auto (grows toward
     # frontier_cap at the leaf).  Opening is heavily bottom-weighted
     # (census at N=131k, theta^2=1: p99 expanding parents per level
     # 10/14/27/66/190 for levels 2-6), so small coarse-level frontiers cut
     # the gather volume ~2x; overflow degrades to monopole and is counted.
+
+    def __post_init__(self):
+        # fb rows can be leaf cells; their quadrupole gather needs the leaf
+        # level present in the table
+        assert not (self.fb_quad and not self.quad_leaf), (
+            "fb_quad=True requires quad_leaf=True"
+        )
 
     def schedule(self) -> tuple:
         if self.frontier_schedule is not None:
@@ -198,40 +239,89 @@ def _pair_block_mxu(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center):
     return g * acc
 
 
-def _fb_eval(gpos, gidx, gmass, fb, g, g_soft):
-    """Self-excluded monopole acceleration from the overflow-fallback slab.
+def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
+    """Self-excluded acceleration from the overflow-fallback slab.
 
     ``fb`` rows are raw packed node rows (mass M, mass-weighted sums S,
-    range_start, range_end — ops/tree.py level_table layout).  A cell owns a
-    contiguous sorted range, so "cell contains target i" is exactly
-    ``cs <= sorted_idx(i) < ce``; for those pairs the target's own
+    range_start, range_end — ops/tree.py level_table layout — plus the
+    node's level and cell id in slots 6/7 for the quadrupole gather).  A
+    cell owns a contiguous sorted range, so "cell contains target i" is
+    exactly ``cs <= sorted_idx(i) < ce``; for those pairs the target's own
     contribution is removed in closed form:
 
-        M' = M - m_i,   com' - p_i = (S - M p_i) / M'
+        M' = M - m_i,   S' = S - m_i p_i,   com' = S' / M'
 
     eliminating the softened self-force the round-1 fallback admitted
-    (ADVICE.md #1).  Empty slots (M = 0) and self-only cells (M' = 0)
-    contribute nothing."""
+    (ADVICE.md #1).  With ``all_quad`` (multipole="quad"), the raw second
+    moments get the same exact subtraction (S2' = S2 - m_i p_i p_iᵀ) and the
+    cell contributes its full self-excluded quadrupole — budget overflow
+    then costs one multipole ORDER (hexadecapole), not two.  Empty slots
+    (M = 0) and self-only cells (M' = 0) contribute nothing."""
     M = fb[:, 0]  # [F]
     S = fb[:, 1:4]  # [F, 3]
     cs = fb[:, 4]
     ce = fb[:, 5]
     ti = gidx.astype(gpos.dtype)[:, None]  # exact ints (< 2^24, tree guard)
     inside = (cs[None, :] <= ti) & (ti < ce[None, :])  # [B, F]
-    m_eff = M[None, :] - jnp.where(inside, gmass[:, None], 0.0)  # [B, F]
+    mi = jnp.where(inside, gmass[:, None], 0.0)  # [B, F]
+    m_eff = M[None, :] - mi
     valid = m_eff > 0.0
     tiny = jnp.asarray(jnp.finfo(gpos.dtype).tiny, gpos.dtype)
-    num = S[None, :, :] - jnp.where(inside, gmass[:, None], 0.0)[
-        :, :, None
-    ] * gpos[:, None, :]  # [B, F, 3] = S - m_i p_i (where inside)
-    d = num / jnp.maximum(m_eff, tiny)[:, :, None] - gpos[:, None, :]
+    num = S[None, :, :] - mi[:, :, None] * gpos[:, None, :]  # [B,F,3] = S'
+    com = num / jnp.maximum(m_eff, tiny)[:, :, None]  # [B, F, 3]
+    d = com - gpos[:, None, :]
     r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft
     ok = valid & (r2 > 0.0)
     inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
-    s = jnp.where(ok, inv_r * inv_r * inv_r * m_eff, 0.0)
-    return g * jnp.einsum(
-        "bf,bfd->bd", s, d, precision=jax.lax.Precision.HIGHEST
-    )
+    ir2 = inv_r * inv_r
+    ir3 = ir2 * inv_r
+    s = jnp.where(ok, ir3 * m_eff, 0.0)
+    acc = jnp.einsum("bf,bfd->bd", s, d, precision=jax.lax.Precision.HIGHEST)
+
+    if all_quad is not None:
+        # self-excluded quadrupole: raw moments minus the target's own
+        # m_i p_i p_iᵀ, centralized about the EXCLUDED com'
+        lvl = fb[:, 6].astype(jnp.int32)
+        cid = fb[:, 7].astype(jnp.int32)
+        # empty fb slots decode to node 0 (root) — masked by ok (M = 0)
+        S2 = all_quad[goffs[lvl] + cid][:, :6]  # [F, 6]
+        # S2' components [B, F]
+        px, py, pz = gpos[:, None, 0], gpos[:, None, 1], gpos[:, None, 2]
+        sxx = S2[None, :, 0] - mi * px * px
+        syy = S2[None, :, 1] - mi * py * py
+        szz = S2[None, :, 2] - mi * pz * pz
+        sxy = S2[None, :, 3] - mi * px * py
+        sxz = S2[None, :, 4] - mi * px * pz
+        syz = S2[None, :, 5] - mi * py * pz
+        cx, cy, cz = com[..., 0], com[..., 1], com[..., 2]
+        # central second moments P' = S2' - M' com' com'ᵀ
+        pxx = sxx - m_eff * cx * cx
+        pyy = syy - m_eff * cy * cy
+        pzz = szz - m_eff * cz * cz
+        pxy = sxy - m_eff * cx * cy
+        pxz = sxz - m_eff * cx * cz
+        pyz = syz - m_eff * cy * cz
+        tr = pxx + pyy + pzz
+        qxx, qyy, qzz = 3 * pxx - tr, 3 * pyy - tr, 3 * pzz - tr
+        qxy, qxz, qyz = 3 * pxy, 3 * pxz, 3 * pyz
+        ex, ey, ez = d[..., 0], d[..., 1], d[..., 2]
+        ux = qxx * ex + qxy * ey + qxz * ez
+        uy = qxy * ex + qyy * ey + qyz * ez
+        uz = qxz * ex + qyz * ey + qzz * ez
+        qe = ex * ux + ey * uy + ez * uz
+        ir5 = ir3 * ir2
+        ir7 = ir5 * ir2
+        w = jnp.where(ok, 2.5 * qe * ir7, 0.0)
+        ir5 = jnp.where(ok, ir5, 0.0)
+        acc = acc + jnp.stack(
+            [
+                jnp.sum(w * ex - ir5 * ux, axis=1),
+                jnp.sum(w * ey - ir5 * uy, axis=1),
+                jnp.sum(w * ez - ir5 * uz, axis=1),
+            ],
+            axis=1,
+        )
+    return g * acc
 
 
 def _compact(ids, keep, out_slots):
@@ -362,7 +452,9 @@ def _group_collect(
             jnp.abs(com[:, None, :] - gc[None, :, :]) - gh[None, :, :], 0.0
         )  # [F, S, 3]
         rmin2 = jnp.min(jnp.sum(d * d, axis=-1), axis=-1)  # [F]
-        accept = occupied & ~covered & (cell_w2[l] < theta2 * rmin2)
+        accept = occupied & ~covered & (
+            cell_w2[l] < (cfg.accept_margin * theta2) * rmin2
+        )
         expand = occupied & ~covered & ~accept
 
         if l < L:
@@ -406,19 +498,27 @@ def _group_collect(
             expand = inc_l
             expand_far = inc_f
 
-        # overflow cells -> fallback slab (self-excluded monopole eval);
-        # rows are the raw packed node rows (M, S, cs, ce) _fb_eval expects
-        fb, fb_off, fb_drop = _push_rows(fb, fb_off, row, overflowed,
+        # overflow cells -> fallback slab (self-excluded multipole eval);
+        # rows are the raw packed node rows (M, S, cs, ce) _fb_eval expects,
+        # plus (level, cell id) in slots 6/7 for the quadrupole gather
+        idf = ids.astype(ftype)  # cell ids < 2^(dim*L) <= 2^24: exact
+        lvlf = jnp.full((ids.shape[0],), float(l), ftype)
+        fbrow = row.at[:, 6].set(lvlf).at[:, 7].set(idf)
+        fb, fb_off, fb_drop = _push_rows(fb, fb_off, fbrow, overflowed,
                                          cfg.fb_cap)
         fb_spill = fb_spill + jnp.sum(fb_drop).astype(jnp.int32)
 
         # accepted nodes (+ fb spill, which loses only the self-exclusion)
-        # -> monopole slab rows (com, mass, idx=-1)
+        # -> multipole slab rows (com, mass, idx=-1, level, cell id); spill
+        # rows carry level=-1 so assembly zeroes their quadrupole (a cell
+        # that may CONTAIN the target must not get the quad term — the
+        # round-1 plain-monopole degradation, counted in stats)
         mono_mask = accept | fb_drop
         neg = jnp.full((ids.shape[0],), -1.0, ftype)
         zero = jnp.zeros((ids.shape[0],), ftype)
         mrows = jnp.stack(
-            [com[:, 0], com[:, 1], com[:, 2], m, neg, zero, zero, zero],
+            [com[:, 0], com[:, 1], com[:, 2], m, neg,
+             jnp.where(fb_drop, -1.0, lvlf), idf, zero],
             axis=1,
         )
         mono, mono_off, mono_drop = _push_rows(mono, mono_off, mrows,
@@ -455,7 +555,14 @@ def _group_collect(
     wmask = jnp.cumsum(delta)[:W] > 0
 
     # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval)
-    acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
+    if cfg.multipole == "quad" and cfg.fb_quad:
+        goffs = jnp.array(
+            [level_offset(lv, branch) for lv in range(L + 1)], jnp.int32
+        )
+        acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
+                          tree.all_quad, goffs)
+    else:
+        acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
 
     stats = (a_dropped, f_fallback, n_fallback, fb_spill, total + total_far)
     return (mono[: cfg.accept_cap], pidx, pvalid, pidx_far, pfvalid,
@@ -486,6 +593,123 @@ def _ranges_to_pidx(leaf_table, cell_ids, cell_valid, cap):
     pvalid = k < jnp.minimum(total, cap)
     pidx = jnp.where(pvalid, pidx, 0)
     return pidx, pvalid, total
+
+
+def _quad_slab(mono, all_quad, goffs, excl_level: int = -1):
+    """Expand the collected node-id slab into 16-wide quadrupole source rows.
+
+    mono [G, A, 8] rows: (com_x, com_y, com_z, M, -1, level, cell_id, 0);
+    level == -1 marks fb-spill rows whose quadrupole must be ZERO (the cell
+    may contain the target — plain-monopole degradation, counted in stats).
+    Raw origin-centered second moments from ``all_quad`` are centralized
+    about the node COM here (P = S2 - M c cᵀ; traceless Q = 3P - tr(P) I) —
+    only for the few thousand rows per group the walk actually accepted,
+    never for the full tree.  Returns [G, A, 16] rows:
+    (x, y, z, M, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz, 0...)."""
+    dtype = mono.dtype
+    lvl = mono[..., 5].astype(jnp.int32)
+    cid = mono[..., 6].astype(jnp.int32)
+    m = mono[..., 3]
+    com = mono[..., :3]
+    okq = (lvl >= 0) & (m > 0)
+    if excl_level >= 0:  # quad_leaf=False: leaf rows eval as monopoles
+        okq = okq & (lvl != excl_level)
+    gid = jnp.where(okq, goffs[jnp.maximum(lvl, 0)] + cid, 0)
+    S2 = all_quad[gid]  # [G, A, 8] (last 2 cols zero padding)
+    cx, cy, cz = com[..., 0], com[..., 1], com[..., 2]
+    pxx = S2[..., 0] - m * cx * cx
+    pyy = S2[..., 1] - m * cy * cy
+    pzz = S2[..., 2] - m * cz * cz
+    pxy = S2[..., 3] - m * cx * cy
+    pxz = S2[..., 4] - m * cx * cz
+    pyz = S2[..., 5] - m * cy * cz
+    tr = pxx + pyy + pzz
+    z = jnp.zeros_like(m)
+    q = jnp.stack(
+        [3 * pxx - tr, 3 * pyy - tr, 3 * pzz - tr,
+         3 * pxy, 3 * pxz, 3 * pyz],
+        axis=-1,
+    )
+    q = jnp.where(okq[..., None], q, 0.0).astype(dtype)
+    zeros6 = jnp.stack([z, z, z, z, z, z], axis=-1)
+    return jnp.concatenate([com, m[..., None], q, zeros6], axis=-1)
+
+
+def _quad_block(gpos, qrows, g, g_soft):
+    """XLA backend for the quadrupole slab eval (CPU tests, f64): one group's
+    targets [B, 3] vs quad source rows [A, 16] -> acc [B, 3].
+
+    Force law (e = com - p pointing target -> source, r² = |e|² + ε²,
+    traceless Q): a = G [ M e / r³ - (Q e) / r⁵ + (5/2)(eᵀ Q e) e / r⁷ ] —
+    the gradient of Φ = -G [ M/r + (dᵀ Q d)/(2 r⁵) ] (standard multipole
+    expansion about the COM; dipole vanishes identically)."""
+    com = qrows[:, :3]
+    m = qrows[:, 3]
+    e = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]
+    r2 = jnp.sum(e * e, axis=-1) + g_soft * g_soft
+    ok = (m[None, :] > 0) & (r2 > 0.0)
+    inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+    ir2 = inv_r * inv_r
+    ir3 = ir2 * inv_r
+    ir5 = ir3 * ir2
+    ir7 = ir5 * ir2
+    s = jnp.where(ok, ir3 * m[None, :], 0.0)
+    ex, ey, ez = e[..., 0], e[..., 1], e[..., 2]
+    qxx, qyy, qzz = qrows[:, 4], qrows[:, 5], qrows[:, 6]
+    qxy, qxz, qyz = qrows[:, 7], qrows[:, 8], qrows[:, 9]
+    ux = qxx[None, :] * ex + qxy[None, :] * ey + qxz[None, :] * ez
+    uy = qxy[None, :] * ex + qyy[None, :] * ey + qyz[None, :] * ez
+    uz = qxz[None, :] * ex + qyz[None, :] * ey + qzz[None, :] * ez
+    qe = ex * ux + ey * uy + ez * uz
+    w = s + jnp.where(ok, 2.5 * qe * ir7, 0.0)
+    ir5 = jnp.where(ok, ir5, 0.0)
+    return g * jnp.stack(
+        [
+            jnp.sum(w * ex - ir5 * ux, axis=1),
+            jnp.sum(w * ey - ir5 * uy, axis=1),
+            jnp.sum(w * ez - ir5 * uz, axis=1),
+        ],
+        axis=1,
+    )
+
+
+def _quad_eval(qslab, tgt8, g, g_soft, cfg: BHConfig):
+    """Dispatch the quadrupole slab eval: Pallas kernel on TPU f32, chunked
+    XLA contraction elsewhere.  qslab [G, A, 16], tgt8 [G, B, 8]."""
+    G, B, _ = tgt8.shape
+    A = qslab.shape[1]
+    dtype = tgt8.dtype
+    tile = cfg.quad_tile
+    while tile > 128 and (tile > A or A % tile):
+        tile //= 2
+    a_pad = (-A) % tile
+    if a_pad:
+        qslab = jnp.concatenate(
+            [qslab, jnp.zeros((G, a_pad, 16), dtype)], axis=1
+        )
+        A += a_pad
+
+    if _resolve_eval_mode(cfg, dtype) == "pallas":
+        from nbody_tpu.ops.group_force import quad_force_pallas
+
+        return quad_force_pallas(
+            tgt8, jnp.swapaxes(qslab, 1, 2), g, g_soft, tile=tile
+        )
+
+    CG = cfg.chunk_groups
+    n_chunks = G // CG
+
+    def eval_body(args):
+        q_c, t8_c = args
+        return jax.vmap(lambda q, t8: _quad_block(t8[:, :3], q, g, g_soft))(
+            q_c, t8_c
+        )
+
+    return jax.lax.map(
+        eval_body,
+        (qslab.reshape(n_chunks, CG, A, 16),
+         tgt8.reshape(n_chunks, CG, B, 8)),
+    ).reshape(G, B, 3)
 
 
 def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig):
@@ -619,16 +843,29 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     acc_fb = acc_fb.reshape(G_my, B, 3)
     adrop, fdrop, ndrop, fbspill, ntot = (s.reshape(-1) for s in stats_t)
 
-    # ---- slab assembly: window slice + near gather + monopole slab ----
+    # ---- slab assembly: window slice + near gather + multipole slab ----
     wrows = jax.vmap(
         lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)), (W, 8))
     )(wstart)  # [G, W, 8]
     wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
     nrows = pmass8[pidx]  # [G, P, 8]
     nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
-    slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
     tgt8 = cgp8.reshape(G_my, B, 8)
-    acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
+    if cfg.multipole == "quad":
+        # particle sources (exact) through the pair kernel; accepted nodes
+        # through the separate quadrupole kernel (16-wide rows)
+        slab = jnp.concatenate([wrows, nrows], axis=1)
+        goffs = jnp.array(
+            [level_offset(lv, 1 << cfg.dim) for lv in range(cfg.max_level + 1)],
+            jnp.int32,
+        )
+        qslab = _quad_slab(mono, tree.all_quad, goffs,
+                           -1 if cfg.quad_leaf else cfg.max_level)
+        acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
+        acc_main = acc_main + _quad_eval(qslab, tgt8, g, g_soft, cfg)
+    else:
+        slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
+        acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
 
     acc_c = acc_main + acc_fb
 
@@ -660,7 +897,9 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
 
     pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
     N must be a multiple of 128 (guaranteed by ParticleState.create)."""
-    tree = build_octree(pos, mass, bounds, cfg.max_level, dim=cfg.dim)
+    tree = build_octree(pos, mass, bounds, cfg.max_level, dim=cfg.dim,
+                        quad=cfg.multipole == "quad",
+                        quad_leaf=cfg.quad_leaf)
     return traverse_tree(tree, bounds, theta2, g, g_soft, cfg, pos.shape[0])
 
 
@@ -703,10 +942,13 @@ def bh_accel_lazy(
     frac = jnp.sum(moved & alive_s) / n_alive
 
     def rebuild(_):
-        return build_octree(pos, mass, bounds, L, dim=cfg.dim)
+        return build_octree(pos, mass, bounds, L, dim=cfg.dim,
+                            quad=cfg.multipole == "quad",
+                            quad_leaf=cfg.quad_leaf)
 
     def refresh(t):
-        return refresh_octree(t, pos, mass)
+        return refresh_octree(t, pos, mass, quad=cfg.multipole == "quad",
+                              quad_leaf=cfg.quad_leaf)
 
     new_tree = jax.lax.cond(frac > rebuild_frac, rebuild, refresh, tree)
     acc, stats = traverse_tree(new_tree, bounds, theta2, g, g_soft, cfg,

@@ -63,6 +63,13 @@ class LinearOctree:
     #: per frontier slot instead of six scalar gathers (counts < 2^24 are
     #: exact in f32)
     level_table: Tuple[jax.Array, ...]
+    #: optional quadrupole table, ALL levels concatenated (level l's rows
+    #: start at ``level_offset(l)``): raw mass-weighted second moments about
+    #: the ORIGIN (Sxx, Syy, Szz, Sxy, Sxz, Syz, 0, 0) — raw moments
+    #: aggregate up the pyramid as plain sums (no parallel-axis shifts) and
+    #: the traversal centralizes them about the node COM only for the few
+    #: thousand rows it actually accepts.  None when built with quad=False.
+    all_quad: jax.Array | None
 
     @property
     def max_level(self) -> int:
@@ -76,6 +83,46 @@ class LinearOctree:
     @property
     def dim(self) -> int:
         return self.branch.bit_length() - 1
+
+
+def level_offset(level: int, branch: int) -> int:
+    """Row offset of ``level``'s cells in the concatenated all-level tables
+    (``all_quad``): levels 0..level-1 contribute (branch^level - 1)/(branch - 1)
+    rows."""
+    return ((branch ** level) - 1) // (branch - 1)
+
+
+def _quad_moments(pos_s, mass_s):
+    """Raw second moments m * p pᵀ per particle, packed 6-wide
+    (xx, yy, zz, xy, xz, yz)."""
+    w = pos_s * mass_s[:, None]  # [N, 3] = m*x, m*y, m*z
+    return jnp.stack(
+        [
+            w[:, 0] * pos_s[:, 0],
+            w[:, 1] * pos_s[:, 1],
+            w[:, 2] * pos_s[:, 2],
+            w[:, 0] * pos_s[:, 1],
+            w[:, 0] * pos_s[:, 2],
+            w[:, 1] * pos_s[:, 2],
+        ],
+        axis=1,
+    )
+
+
+def _quad_pyramid(base_quad, top_level: int, branch: int, ftype):
+    """Aggregate second moments from the ``top_level`` cells up the pyramid
+    and concatenate levels 0..top_level into one [rows, 8] table (root
+    first).  With top_level = max_level - 1 the leaf level is skipped
+    entirely (BHConfig.quad_leaf=False): accepted leaf cells then eval as
+    monopoles — their individual force share is tiny — and the build saves
+    its largest segment-sum + reduction stage."""
+    levels = [base_quad]
+    for _ in range(top_level):
+        levels.append(levels[-1].reshape(-1, branch, 6).sum(axis=1))
+    levels.reverse()
+    flat = jnp.concatenate([q.astype(ftype) for q in levels], axis=0)
+    pad = jnp.zeros((flat.shape[0], 2), ftype)
+    return jnp.concatenate([flat, pad], axis=1)
 
 
 def grid_bounds(bounds, max_level: int):
@@ -93,6 +140,31 @@ def grid_bounds(bounds, max_level: int):
 
     cell = bounds.width / (1 << max_level)
     return dataclasses.replace(bounds, center=bounds.center + cell * 0.5)
+
+
+def _build_quad(pos_s, mass_s, code_s, max_level: int, branch: int, ftype,
+                quad_leaf: bool):
+    """Build the concatenated quadrupole table from sorted particles.
+    quad_leaf=False segments directly into the level-(L-1) cells
+    (code // branch), skipping the leaf level's 8^L-cell segment-sum and
+    reduction — the build's largest quad stage."""
+    from functools import partial as _partial
+
+    if quad_leaf:
+        top_level = max_level
+        seg_ids = code_s
+    else:
+        top_level = max_level - 1
+        # dead-particle sentinel (branch^L) maps to branch^(L-1) == the
+        # out-of-range segment -> dropped, same as the leaf build
+        seg_ids = code_s // branch
+    q = jax.ops.segment_sum(
+        _quad_moments(pos_s, mass_s),
+        segment_ids=seg_ids,
+        num_segments=branch ** top_level,
+        indices_are_sorted=True,
+    )
+    return q, top_level
 
 
 def _check_range_dtype(n: int, ftype) -> None:
@@ -156,9 +228,10 @@ def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
     return tuple(level_mass), tuple(level_mpos), tuple(level_table), leaf_starts
 
 
-@partial(jax.jit, static_argnames=("max_level", "dim"))
+@partial(jax.jit, static_argnames=("max_level", "dim", "quad", "quad_leaf"))
 def build_octree(pos, mass, bounds, max_level: int = 7,
-                 dim: int = 3) -> LinearOctree:
+                 dim: int = 3, quad: bool = False,
+                 quad_leaf: bool = True) -> LinearOctree:
     """pos [N,D], mass [N] (dead particles must already have mass 0).
     ``bounds`` is the domain box; the tree grid is the half-cell-shifted
     version (see grid_bounds).
@@ -206,6 +279,12 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
         leaf_mass, leaf_mpos, leaf_counts, max_level, branch, pos.dtype
     )
 
+    all_quad = None
+    if quad:
+        q, top = _build_quad(pos_s, mass_s, code_s, max_level, branch,
+                             pos.dtype, quad_leaf)
+        all_quad = _quad_pyramid(q, top, branch, pos.dtype)
+
     return LinearOctree(
         pos_s=pos_s,
         mass_s=mass_s,
@@ -215,12 +294,14 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
         level_mass=level_mass,
         level_mpos=level_mpos,
         level_table=level_table,
+        all_quad=all_quad,
     )
 
 
 def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
                          max_level: int, axis: str,
-                         dim: int = 3) -> LinearOctree:
+                         dim: int = 3, quad: bool = False,
+                         quad_leaf: bool = True) -> LinearOctree:
     """Distributed octree build for use INSIDE ``shard_map``: the heavy
     per-particle stages (Morton encoding, the sorted-order gather, the leaf
     segment-sums) run on each chip's 1/n_dev slice; collectives assemble the
@@ -292,6 +373,13 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
         leaf_mass, leaf_mpos, leaf_counts, max_level, branch, pos_all.dtype
     )
 
+    all_quad = None
+    if quad:
+        q, top = _build_quad(pos_s_my, mass_s_my, code_s_my, max_level,
+                             branch, pos_all.dtype, quad_leaf)
+        all_quad = _quad_pyramid(jax.lax.psum(q, axis), top, branch,
+                                 pos_all.dtype)
+
     return LinearOctree(
         pos_s=pos_s,
         mass_s=mass_s,
@@ -301,10 +389,12 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
         level_mass=level_mass,
         level_mpos=level_mpos,
         level_table=level_table,
+        all_quad=all_quad,
     )
 
 
-def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
+def refresh_octree(tree: LinearOctree, pos, mass,
+                   quad: bool = None, quad_leaf: bool = True) -> LinearOctree:
     """Refresh node statistics from CURRENT positions while keeping the
     FROZEN binning (sort order, cell assignment, ranges) — the TPU-native
     analog of the reference midterm engine's incremental tree update
@@ -353,6 +443,17 @@ def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
             )
         )
 
+    # quad=None: keep whatever the carried tree has; an explicit flag lets
+    # bh_accel_lazy force the refreshed tree to match its config even when
+    # the initial carry was built the other way (lax.cond branches must
+    # produce the same pytree structure)
+    want_quad = tree.all_quad is not None if quad is None else quad
+    all_quad = None
+    if want_quad:
+        q, top = _build_quad(pos_s, mass_s, tree.code_s, tree.max_level,
+                             branch, pos_s.dtype, quad_leaf)
+        all_quad = _quad_pyramid(q, top, branch, pos_s.dtype)
+
     import dataclasses
 
     return dataclasses.replace(
@@ -362,6 +463,7 @@ def refresh_octree(tree: LinearOctree, pos, mass) -> LinearOctree:
         level_mass=tuple(level_mass),
         level_mpos=tuple(level_mpos),
         level_table=tuple(level_table),
+        all_quad=all_quad,
     )
 
 

@@ -48,10 +48,19 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu.ops import morton
-from nbody_tpu.ops.tree import _check_range_dtype, _pyramid_tables, grid_bounds
+from nbody_tpu.ops.tree import (
+    _check_range_dtype,
+    _pyramid_tables,
+    _quad_moments,
+    _quad_pyramid,
+    grid_bounds,
+    level_offset,
+)
 from nbody_tpu.ops.traversal import (
     BHConfig,
     _group_collect,
+    _quad_eval,
+    _quad_slab,
     _slab_eval,
 )
 
@@ -108,10 +117,13 @@ class DomainTree(NamedTuple):
     # sorted index (the source-row layout of ops/group_force.py)
     level_table: Tuple[jax.Array, ...]  # replicated dense pyramid
     halo: int
+    all_quad: jax.Array = None  # replicated concatenated quadrupole table
+    # (raw second moments, ops/tree.py layout); None when multipole="mono"
 
 
 def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
-                      n_dev: int, halo: int, dim: int = 3) -> DomainTree:
+                      n_dev: int, halo: int, dim: int = 3,
+                      quad: bool = False, quad_leaf: bool = True) -> DomainTree:
     """Distributed octree build over this chip's shard (call inside
     shard_map).  Produces the identical sorted permutation as the
     single-chip ``build_octree`` (see module docstring, step 1); leaf
@@ -190,6 +202,14 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
         leaf_mass, leaf_mpos, leaf_counts, max_level, branch, ftype
     )
 
+    all_quad = None
+    if quad:
+        from nbody_tpu.ops.tree import _build_quad
+
+        q, top = _build_quad(rows_s[:, :3], rows_s[:, 3], code_s_my,
+                             max_level, branch, ftype, quad_leaf)
+        all_quad = _quad_pyramid(jax.lax.psum(q, axis), top, branch, ftype)
+
     # 5. halo exchange for the window pass; global edges are zero-padded
     #    (ring wraparound must not leak the far end of the sort)
     perm = _ring_perm(n_dev)
@@ -205,7 +225,7 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     ext8 = ext.at[:, 4].set(ext_idx.astype(ftype))
 
     return DomainTree(rows_s=rows_s, ext8=ext8, level_table=level_table,
-                      halo=halo)
+                      halo=halo, all_quad=all_quad)
 
 
 def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
@@ -230,7 +250,9 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     halo = window
 
     tree = build_domain_tree(pos_loc, mass_loc, bounds, cfg.max_level,
-                             axis, n_dev, halo, dim=cfg.dim)
+                             axis, n_dev, halo, dim=cfg.dim,
+                             quad=cfg.multipole == "quad",
+                             quad_leaf=cfg.quad_leaf)
 
     w = bounds.width
     cell_w2 = tuple(
@@ -308,10 +330,22 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     )
     frows = frows.at[:, :, 3].set(jnp.where(pfvalid, frows[:, :, 3], 0.0))
 
-    slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
-    acc_sorted = (_slab_eval(slab, tgt8.reshape(G_my, B, 8), center,
-                             g, g_soft, cfg)
-                  + acc_fb).reshape(n_loc, 3)
+    t8 = tgt8.reshape(G_my, B, 8)
+    if cfg.multipole == "quad":
+        slab = jnp.concatenate([wrows, nrows, frows], axis=1)
+        goffs = jnp.array(
+            [level_offset(lv, 1 << cfg.dim)
+             for lv in range(cfg.max_level + 1)],
+            jnp.int32,
+        )
+        qslab = _quad_slab(mono, tree.all_quad, goffs,
+                           -1 if cfg.quad_leaf else cfg.max_level)
+        acc_main = (_slab_eval(slab, t8, center, g, g_soft, cfg)
+                    + _quad_eval(qslab, t8, g, g_soft, cfg))
+    else:
+        slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
+        acc_main = _slab_eval(slab, t8, center, g, g_soft, cfg)
+    acc_sorted = (acc_main + acc_fb).reshape(n_loc, 3)
 
     # ---- route forces back to original owners (no force all-gather) ----
     orig_dest = tree.rows_s[:, 4].astype(jnp.int32)

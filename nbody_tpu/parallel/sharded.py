@@ -133,7 +133,7 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             # leaf segment-sum, merged with psum/all_gather (tree.py)
             tree = build_octree_sharded(
                 pos, mass_eff, pos_all, mass_all, params.bounds,
-                cfg.max_level, axis,
+                cfg.max_level, axis, quad=cfg.multipole == "quad",
             )
             n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
             first = (my * (n_chunks // n_dev)).astype(jnp.int32)

@@ -102,15 +102,27 @@ class SimLoop(threading.Thread):
                     self.steps_done += 1
                     did += 1
                     budget = 1.0 / self.max_fps
+                    # keep stepping while the budget has room for another
+                    # step of the CURRENT measured cost.  Each step is
+                    # synchronized and re-timed (EMA): JAX dispatch is
+                    # async, so without the per-step sync the wall clock
+                    # barely advances and the loop would queue steps far
+                    # past the budget (the reference measures per step the
+                    # same way, src/vis.rs:537-553).
                     while (
                         time.perf_counter() - frame_start + self.step_time
                         < budget
                         and did < self.max_steps_per_frame
                     ):
+                        t0 = time.perf_counter()
                         self.sim.step()
+                        self.sim.block_until_ready()
+                        self.step_time = (
+                            0.7 * self.step_time
+                            + 0.3 * (time.perf_counter() - t0)
+                        )
                         self.steps_done += 1
                         did += 1
-                    self.sim.block_until_ready()
             self.frame_times.append(time.perf_counter() - frame_start)
             # respect the fps cap
             sleep = 1.0 / self.max_fps - (time.perf_counter() - frame_start)

@@ -26,12 +26,31 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
 N = 1 << 20
 
 CONFIGS = {
-    "auto": {},
-    "fb512": dict(fb_cap=512),
-    "near16k_cells8k": dict(near_particle_cap=16384, near_cell_cap=8192,
-                            fb_cap=512),
-    "near32k_cells16k": dict(near_particle_cap=32768, near_cell_cap=16384,
-                             fb_cap=1024),
+    # round-1 rows (multipole defaulted to mono then; re-runs would now
+    # pick up the quad default — keep explicit)
+    "auto": dict(multipole="mono"),
+    "fb512": dict(multipole="mono", fb_cap=512),
+    "near16k_cells8k": dict(multipole="mono", near_particle_cap=16384,
+                            near_cell_cap=8192, fb_cap=512),
+    "near32k_cells16k": dict(multipole="mono", near_particle_cap=32768,
+                             near_cell_cap=16384, fb_cap=1024),
+    # round 2: quadrupole path.  Rows predating the round-2c/2d default
+    # flips pin the then-defaults (quad_leaf=True, accept_margin=1.0) so
+    # reruns reproduce the same program.
+    "quad_auto": dict(fb_quad=True, quad_leaf=True, accept_margin=1.0),
+    "quad_fb512": dict(fb_quad=True, quad_leaf=True, accept_margin=1.0,
+                       fb_cap=512),
+    "quad_near16k": dict(fb_quad=True, quad_leaf=True, accept_margin=1.0,
+                         near_particle_cap=16384, near_cell_cap=8192,
+                         fb_cap=512),
+    # round 2c: fb_quad off (measured zero p99 effect) + theta margins
+    "quad2_auto": dict(quad_leaf=True, accept_margin=1.0),
+    "quad2_m09": dict(quad_leaf=True, accept_margin=0.9),
+    "quad2_m08": dict(quad_leaf=True, accept_margin=0.8),
+    # round 2d: no leaf-level quadrupoles; quad3_m08 == shipped defaults
+    "quad3_auto": dict(quad_leaf=False, accept_margin=1.0),
+    "quad3_m08": dict(quad_leaf=False, accept_margin=0.8),
+    "defaults": {},  # whatever BHConfig currently defaults to (regression row)
 }
 
 

@@ -40,11 +40,27 @@ def bench_one(engine: str, n: int, steps: int, repeats: int, devices: int,
     from nbody_tpu.scenes import self_gravitating_disc
 
     pos, vel, mass = self_gravitating_disc(n, seed=0)
-    sim = Simulation(
-        pos, vel, mass, engine=engine,
+    common = dict(
         dt=3e-2, g_soft=0.02, theta2=1.0, bounds_width=10.0,
         dtype=jnp.float32,
     )
+    if devices > 1:
+        # multi-chip column — the analog of the reference's thread sweep
+        # (reference perf_benchmark.py cpu_count loop)
+        from nbody_tpu.parallel import ShardedSimulation
+
+        opts = None
+        if engine.startswith("bh"):
+            from nbody_tpu.ops.traversal import BHConfig
+
+            c = BHConfig.auto_for(max(n // devices, 2048))
+            opts = dict(group_size=c.group_size, subgroups=c.subgroups)
+        sim = ShardedSimulation(
+            pos, vel, mass, engine=engine, n_devices=devices,
+            engine_options=opts, **common,
+        )
+    else:
+        sim = Simulation(pos, vel, mass, engine=engine, **common)
     chunk = min(chunk or steps, steps)
     sim.compile(chunk)
     if steps % chunk:
@@ -99,12 +115,16 @@ def main(argv=None):
     p.add_argument("--bf-max", type=int, default=100000,
                    help="cap brute-force engines at this N (the reference "
                    "caps its brute binary at 3000, perf_benchmark.py:58)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard over this many devices (ShardedSimulation); "
+                   "default: single-device engines. The multi-chip analog "
+                   "of the reference's thread-count sweep column.")
     args = p.parse_args(argv)
 
     import jax
 
     points = args.points or DEFAULT_POINTS
-    devices = len(jax.devices())
+    devices = args.devices or 1
 
     rows = []
     for engine in args.engines:

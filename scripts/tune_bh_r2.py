@@ -29,8 +29,15 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
 N = 1 << 20
 REPS = 3
 
-G8 = dict(group_size=8192, subgroups=128, chunk_groups=1, start_level=3)
-G4 = dict(group_size=4096, subgroups=64, chunk_groups=1, start_level=3)
+# NOTE: every pre-quadrupole config below carries multipole="mono" — they
+# were measured before BHConfig.multipole existed (then-default behavior);
+# re-runs must reproduce the same program.
+G8 = dict(group_size=8192, subgroups=128, chunk_groups=1, start_level=3,
+          multipole="mono")
+G4 = dict(group_size=4096, subgroups=64, chunk_groups=1, start_level=3,
+          multipole="mono")
+Q8 = dict(group_size=8192, subgroups=128, chunk_groups=1, start_level=3)
+Q4 = dict(group_size=4096, subgroups=64, chunk_groups=1, start_level=3)
 
 CONFIGS = {
     # A/B at the round-1 winning config
@@ -74,6 +81,53 @@ CONFIGS = {
     "pl_2m_L8": dict(eval_mode="pallas", n=1 << 21, max_level=8, **G8),
     # accuracy lever: start shallower only if free
     "pl_g8_fb512": dict(eval_mode="pallas", fb_cap=512, **G8),
+    # round-2b: quadrupole path (multipole defaults to "quad") — perf cost
+    # of the extra kernel + quad tree build vs the mono rows above.
+    # Measured before the round-2c/2d default flips; the then-defaults
+    # (fb_quad=True, quad_leaf=True, accept_margin=1.0) are pinned so
+    # reruns reproduce the same program.
+    "quad_g8": dict(eval_mode="pallas", fb_quad=True, quad_leaf=True,
+                    accept_margin=1.0, **Q8),
+    "quad_g8_fb512": dict(eval_mode="pallas", fb_quad=True, quad_leaf=True,
+                          accept_margin=1.0, fb_cap=512, **Q8),
+    "quad_g4_131k": dict(eval_mode="pallas", fb_quad=True, quad_leaf=True,
+                         accept_margin=1.0, n=131072, **Q4),
+    "quad_2m_L7": dict(eval_mode="pallas", fb_quad=True, quad_leaf=True,
+                       accept_margin=1.0, n=1 << 21, **Q8),
+    "quad_g8_near16k": dict(eval_mode="pallas", fb_quad=True, quad_leaf=True,
+                            accept_margin=1.0, near_particle_cap=16384,
+                            near_cell_cap=4096, fb_cap=512, **Q8),
+    # round-2c: quad cost recovery — fb_quad off (measured zero accuracy
+    # effect) + small quad tile (whole-tile skip over the mostly-padding
+    # accept slab)
+    "quad2_g8": dict(eval_mode="pallas", quad_leaf=True, accept_margin=1.0,
+                     **Q8),
+    "quad2_g8_t2048": dict(eval_mode="pallas", quad_leaf=True,
+                           accept_margin=1.0, quad_tile=2048, **Q8),
+    "quad2_g8_t1024": dict(eval_mode="pallas", quad_leaf=True,
+                           accept_margin=1.0, quad_tile=1024, **Q8),
+    "quad2_g8_m08": dict(eval_mode="pallas", quad_leaf=True,
+                         accept_margin=0.8, **Q8),
+    "quad2_g8_m09": dict(eval_mode="pallas", quad_leaf=True,
+                         accept_margin=0.9, **Q8),
+    "quad2_g4_131k": dict(eval_mode="pallas", quad_leaf=True,
+                          accept_margin=1.0, n=131072, **Q4),
+    "quad2_2m": dict(eval_mode="pallas", quad_leaf=True, accept_margin=1.0,
+                     n=1 << 21, **Q8),
+    "quad2_2m_m08": dict(eval_mode="pallas", quad_leaf=True,
+                         accept_margin=0.8, n=1 << 21, **Q8),
+    # round-2d: skip leaf-level quad moments (largest quad build stage) —
+    # quad3_g8_m08 == the shipped defaults
+    "quad3_g8": dict(eval_mode="pallas", quad_leaf=False, accept_margin=1.0,
+                     **Q8),
+    "quad3_g8_m08": dict(eval_mode="pallas", quad_leaf=False,
+                         accept_margin=0.8, **Q8),
+    "quad3_2m": dict(eval_mode="pallas", n=1 << 21, quad_leaf=False,
+                     accept_margin=1.0, **Q8),
+    "quad3_2m_m08": dict(eval_mode="pallas", n=1 << 21, quad_leaf=False,
+                         accept_margin=0.8, **Q8),
+    "quad3_g4_131k": dict(eval_mode="pallas", n=131072, quad_leaf=False,
+                          accept_margin=1.0, **Q4),
 }
 
 

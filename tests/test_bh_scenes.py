@@ -10,9 +10,12 @@ from nbody_tpu.engines.brute_force import force_tiled
 from nbody_tpu.ops.traversal import BHConfig, bh_accel
 from nbody_tpu.scenes import plummer_sphere, uniform_cube
 
+# budgets sized so nothing overflows at the shipped defaults (the round-2
+# accept_margin=0.8 default opens ~20% more nodes than the literal
+# reference rule, so the frontier/accept budgets carry that headroom)
 CFG = BHConfig(
     max_level=5, group_size=256, subgroups=16, window_pad=256,
-    frontier_cap=4096, accept_cap=2048, near_cell_cap=1024,
+    frontier_cap=8192, accept_cap=4096, near_cell_cap=1024,
     near_particle_cap=4096, start_level=1, chunk_groups=1,
 )
 

@@ -173,17 +173,24 @@ def test_traversal_pallas_mode_matches_xla_mode():
                               BHConfig(eval_mode="xla", **base))
 
     orig = group_force.group_force_pallas
+    orig_q = group_force.quad_force_pallas
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return orig(*a, **kw)
 
+    def interp_q(*a, **kw):
+        kw["interpret"] = True
+        return orig_q(*a, **kw)
+
     group_force.group_force_pallas = interp
+    group_force.quad_force_pallas = interp_q
     try:
         acc_pl, _ = bh_accel(pos, m, params.bounds, params.theta2,
                              params.g, params.g_soft,
                              BHConfig(eval_mode="pallas", **base))
     finally:
         group_force.group_force_pallas = orig
+        group_force.quad_force_pallas = orig_q
     assert _rel_err(acc_pl, acc_xla) < 5e-4
     assert int(stats["accept_dropped"]) == 0
