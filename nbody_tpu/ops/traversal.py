@@ -169,15 +169,36 @@ class BHConfig:
         """Size-adaptive preset (v5e sweep, scripts/tune_bh_1m.py): dense
         group evals get relatively cheaper as N grows, so the optimal group
         size scales up — 8192 wins at N=1M (1.41 steps/s vs 1.13 for the
-        old 2048 default) but over-pads small problems."""
+        old 2048 default) but over-pads small problems.
+
+        chunk_groups: the collect walk is lax.map-serialized per chunk;
+        wider chunks vmap it (62 -> ~28 ms at 1M, tune_bh_r2.jsonl
+        quad4_* rows; saturates at 8).  Pick the widest of 8/4/2/1 that
+        divides the group count so block padding never exceeds one
+        group's worth of particles."""
         if n <= 32768:
-            base = dict(group_size=2048, subgroups=64, chunk_groups=1)
+            base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
-            base = dict(group_size=4096, subgroups=64, chunk_groups=1)
+            base = dict(group_size=4096, subgroups=64)
         else:
-            base = dict(group_size=8192, subgroups=128, chunk_groups=1)
+            base = dict(group_size=8192, subgroups=128)
+        n_groups = max(1, -(-n // base["group_size"]))
+        for cg in (8, 4, 2, 1):
+            if n_groups % cg == 0:
+                base["chunk_groups"] = cg
+                break
         base.update(overrides)
         return BHConfig(**base)
+
+
+def fit_chunks(cg: int, n_groups: int, multiple: int = 1) -> int:
+    """Largest cg' <= cg that divides ``n_groups`` with a chunk count
+    (n_groups // cg') divisible by ``multiple`` — the sharded paths slice
+    whole chunks per device, so their chunk counts must split evenly."""
+    cg = max(1, min(cg, n_groups))
+    while cg > 1 and (n_groups % cg or (n_groups // cg) % multiple):
+        cg -= 1
+    return cg
 
 
 def _resolve_eval_mode(cfg: BHConfig, dtype) -> str:
@@ -873,8 +894,20 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         acc = acc_c.reshape(-1, 3)  # SORTED-order slice; caller assembles
     else:
         acc_s = acc_c.reshape(n_tot, 3)[:n, : cfg.dim]
-        # scatter back to original particle order
-        acc = jnp.zeros_like(acc_s).at[tree.order].set(acc_s)
+        # un-permute to original particle order by SORTING on the stored
+        # permutation (order is a bijection on 0..n, so sorting (order,
+        # acc) puts row j of the result at acc[order^-1(j)] — exactly the
+        # scatter zeros.at[order].set(acc_s), bit-identical).  XLA's TPU
+        # sort runs this in ~3 ms at N=1M where the row scatter took 83 ms
+        # (3-wide rows waste 125/128 lanes per scatter row — profiled,
+        # scripts/profile_1m.py).
+        acc = jnp.stack(
+            jax.lax.sort(
+                (tree.order, *(acc_s[:, d] for d in range(cfg.dim))),
+                num_keys=1,
+            )[1:],
+            axis=1,
+        )
     stats = {
         # true drops (should always be 0; raise accept_cap if not)
         "accept_dropped": jnp.sum(adrop),

@@ -41,6 +41,7 @@ single-chip path (ops/traversal.py: _group_collect / _slab_eval).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -62,6 +63,7 @@ from nbody_tpu.ops.traversal import (
     _quad_eval,
     _quad_slab,
     _slab_eval,
+    fit_chunks,
 )
 
 
@@ -195,7 +197,11 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
         indices_are_sorted=True,
     )
     leaf_mass = jax.lax.psum(seg(rows_s[:, 3]), axis)
-    leaf_mpos = jax.lax.psum(seg(rows_s[:, :3] * rows_s[:, 3:4]), axis)
+    # lane-dense 1-D segment-sums (see ops/tree.py build_octree note)
+    wm = rows_s[:, :3] * rows_s[:, 3:4]
+    leaf_mpos = jax.lax.psum(
+        jnp.stack([seg(wm[:, d]) for d in range(3)], axis=1), axis
+    )
     leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
 
     _, _, level_table, _ = _pyramid_tables(
@@ -237,8 +243,13 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
     B = cfg.group_size
+    assert n_loc % B == 0, (n_loc, B)
+    # clamp the walk/eval chunk width to the per-chip group count (auto
+    # presets size chunk_groups for the single-chip group count)
+    cg_fit = fit_chunks(cfg.chunk_groups, n_loc // B)
+    if cg_fit != cfg.chunk_groups:
+        cfg = dataclasses.replace(cfg, chunk_groups=cg_fit)
     CG = cfg.chunk_groups
-    assert n_loc % (B * CG) == 0, (n_loc, B, CG)
     dtype = pos_loc.dtype
     my = jax.lax.axis_index(axis)
     my_start = my * n_loc

@@ -122,13 +122,22 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
                 params.g_soft, cfg, axis, n_dev,
             )
         elif strategy == "bh-replicated":
-            from nbody_tpu.ops.traversal import BHConfig, traverse_tree
+            from nbody_tpu.ops.traversal import (BHConfig, fit_chunks,
+                                                 traverse_tree)
             from nbody_tpu.ops.tree import build_octree_sharded
 
             cfg = bh_config or BHConfig()
             pos_all = jax.lax.all_gather(pos, axis, tiled=True)
             mass_all = jax.lax.all_gather(mass_eff, axis, tiled=True)
             n_tot = pos_all.shape[0]
+            # whole chunks are sliced per device: the chunk count must
+            # split evenly over the mesh
+            cg_fit = fit_chunks(cfg.chunk_groups, n_tot // cfg.group_size,
+                                n_dev)
+            if cg_fit != cfg.chunk_groups:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, chunk_groups=cg_fit)
             # distributed build: per-chip Morton encode + sorted gather +
             # leaf segment-sum, merged with psum/all_gather (tree.py)
             tree = build_octree_sharded(
@@ -141,10 +150,19 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
                 tree, params.bounds, params.theta2, params.g, params.g_soft,
                 cfg, n_tot, chunk_range=(first,), n_shards=n_dev,
             )
-            # assemble: gather slices (sorted order), scatter to original
-            # order, take my rows
+            # assemble: gather slices (sorted order), un-permute by sorting
+            # on the stored permutation (same trick as traverse_tree's
+            # single-chip tail — a [N, 3] row scatter wastes 125/128 lanes),
+            # take my rows
             acc_sorted = jax.lax.all_gather(acc_slice, axis, tiled=True)
-            acc_full = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+            acc_full = jnp.stack(
+                jax.lax.sort(
+                    (tree.order, acc_sorted[:, 0], acc_sorted[:, 1],
+                     acc_sorted[:, 2]),
+                    num_keys=1,
+                )[1:],
+                axis=1,
+            )
             acc = jax.lax.dynamic_slice(
                 acc_full, (my * n_loc, jnp.int32(0)), (n_loc, 3)
             )

@@ -28,6 +28,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "fused_r2.jsonl")
 STEPS = 25
 
+SUFFIX = "_v3"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
+# chunk_groups=8 (vmapped collect walk)
 CASES = [
     # (name, n, engine_options)
     ("quad_1m", 1 << 20, None),                          # the defaults
@@ -37,6 +39,8 @@ CASES = [
     ("quad_131k", 1 << 17, None),
     ("mono_131k", 1 << 17, dict(multipole="mono")),
     ("quad_524k", 1 << 19, None),
+    # scaling tail: 4M on one chip (no exact reference possible; perf row)
+    ("quad_4m", 1 << 22, None),
 ]
 
 
@@ -55,6 +59,7 @@ def main():
     states = {}
 
     for name, n, opts in CASES:
+        name = name + SUFFIX
         if name in done:
             continue
         if n not in states:

@@ -128,6 +128,29 @@ CONFIGS = {
                          accept_margin=0.8, **Q8),
     "quad3_g4_131k": dict(eval_mode="pallas", n=131072, quad_leaf=False,
                           accept_margin=1.0, **Q4),
+    # round-2e: the collect walk is lax.map-serialized per chunk; with the
+    # eval decoupled from collect (fused kernel), wider chunks should
+    # parallelize the 62 ms walk (scripts/profile_1m.py while.47)
+    "quad4_g8_cg4": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                         chunk_groups=4, start_level=3, quad_leaf=False,
+                         accept_margin=0.8),
+    "quad4_g8_cg8": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                         chunk_groups=8, start_level=3, quad_leaf=False,
+                         accept_margin=0.8),
+    "quad4_g8_cg16": dict(eval_mode="pallas", group_size=8192,
+                          subgroups=128, chunk_groups=16, start_level=3,
+                          quad_leaf=False, accept_margin=0.8),
+    "quad4_g8_cg128": dict(eval_mode="pallas", group_size=8192,
+                           subgroups=128, chunk_groups=128, start_level=3,
+                           quad_leaf=False, accept_margin=0.8),
+    # does g4096 win at 1M now that the walk is vmapped and the eval is the
+    # Pallas kernel?  (round-1's g8192 choice predates both)
+    "quad4_g4_1m": dict(eval_mode="pallas", group_size=4096, subgroups=64,
+                        chunk_groups=8, start_level=3, quad_leaf=False,
+                        accept_margin=0.8),
+    "quad4_g4_1m_cg16": dict(eval_mode="pallas", group_size=4096,
+                             subgroups=64, chunk_groups=16, start_level=3,
+                             quad_leaf=False, accept_margin=0.8),
 }
 
 
