@@ -60,23 +60,24 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
         tx = tgt_ref[:, 0:1]  # (B, 1) target columns
         ty = tgt_ref[:, 1:2]
         tz = tgt_ref[:, 2:3]
-        ti = tgt_ref[:, 4:5]
         sx = src_ref[0:1, :]  # (1, TILE) source rows (slab arrives transposed)
         sy = src_ref[1:2, :]
         sz = src_ref[2:3, :]
         sm = src_ref[3:4, :]
-        si = src_ref[4:5, :]
 
         dx = sx - tx  # (B, TILE) clean VPU broadcasts
         dy = sy - ty
         dz = sz - tz
         r2 = dx * dx + dy * dy + dz * dz + eps2
-        # self-pairs by exact integer-valued float compare (indices < 2^24
-        # are exact in f32 — guarded at build, ops/tree.py); coincident pairs
-        # by the r^2 guard (reference src/llm/barnes_hut.rs:819)
-        skip = (si == ti) | (r2 <= 0.0)
-        inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
-        s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * sm)
+        # No self-pair index test: a self (or exactly coincident) pair has
+        # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
+        # finite — the r^2 floor keeps ir^3 <= 1e18 (no f32 overflow for
+        # any mass), where the old (si == ti) | (r2 <= 0) select chain cost
+        # ~20% of the kernel's VPU ops.  Same semantics as the reference's
+        # r^2 guard (src/llm/barnes_hut.rs:819), minus its inf blow-up for
+        # unsoftened near-coincident pairs.
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+        s = inv_r * inv_r * inv_r * sm
 
         out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
         out_ref[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
@@ -119,8 +120,10 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         qyz = src_ref[9:10, :]
 
         r2 = ex * ex + ey * ey + ez * ez + eps2
-        skip = r2 <= 0.0
-        inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+        # padding rows have m = 0 AND Q = 0, so every term below vanishes
+        # without a select; the r^2 floor bounds ir^7 against overflow for
+        # coincident unsoftened pairs (see _kernel note)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-4))
         ir2 = inv_r * inv_r
         ir3 = ir2 * inv_r
         ir5 = ir3 * ir2
@@ -129,8 +132,7 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         uy = qxy * ex + qyy * ey + qyz * ez
         uz = qxz * ex + qyz * ey + qzz * ez
         qe = ex * ux + ey * uy + ez * uz
-        w = jnp.where(skip, 0.0, m * ir3 + 2.5 * qe * ir7)
-        ir5 = jnp.where(skip, 0.0, ir5)
+        w = m * ir3 + 2.5 * qe * ir7
 
         out_ref[:, 0:1] += jnp.sum(w * ex - ir5 * ux, axis=1, keepdims=True)
         out_ref[:, 1:2] += jnp.sum(w * ey - ir5 * uy, axis=1, keepdims=True)

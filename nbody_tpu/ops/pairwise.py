@@ -13,8 +13,9 @@ Kernel design (TPU-first):
   * The accumulator lives in the output block (TILE_I, 8): initialized when
     j == 0, accumulated across the sequential j grid dimension (the
     standard Pallas reduction pattern).
-  * Self-pairs and exactly-coincident pairs are masked (matching the
-    LLM engine's r^2 guard, src/llm/barnes_hut.rs:819).
+  * Self-pairs and exactly-coincident pairs contribute exactly zero via
+    the d = 0 identity (no mask ops; see the in-kernel note) — same
+    semantics as the LLM engine's r^2 guard (src/llm/barnes_hut.rs:819).
 
 The kernel computes, for every target i (alive or not):
     a_i = G * sum_j m_j * (p_j - p_i) / (|p_j - p_i|^2 + eps^2)^{3/2}
@@ -35,8 +36,7 @@ from nbody_tpu.core.state import SimParams
 from nbody_tpu.engines import Engine, register
 
 
-def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out, *, tile_i, tile_j):
-    i = pl.program_id(0)
+def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -52,12 +52,16 @@ def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out, *, tile_i, tile_j):
     dz = zj[:] - zi[:]
     r2 = dx * dx + dy * dy + dz * dz + eps2
 
-    rows = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
-    cols = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-    skip = (rows == cols) | (r2 <= 0.0)
-
-    inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
-    s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * mj[:])
+    # No explicit self-pair mask: a self (or exactly coincident) pair has
+    # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
+    # finite — the floor keeps ir^3 <= 1e18 (no overflow for any f32 mass),
+    # where the old skip-select chain (2 iotas, 2 compares, or, 2 selects)
+    # cost ~30% of the kernel's VPU ops.  Physics is unchanged for r2 >=
+    # 1e-12; below it (unsoftened near-coincident pairs) the force is
+    # clamped instead of overflowing to inf — strictly better than before
+    # and than the reference's r^2 guard (src/llm/barnes_hut.rs:819).
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+    s = inv_r * inv_r * inv_r * mj[:]
 
     out[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
     out[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
@@ -94,7 +98,7 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
 
-    kernel = functools.partial(_kernel, tile_i=tile_i, tile_j=tile_j)
+    kernel = _kernel
     grid = (n // tile_i, n // tile_j)
     out = pl.pallas_call(
         kernel,

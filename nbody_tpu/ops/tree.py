@@ -169,6 +169,46 @@ def _build_quad(pos_s, mass_s, code_s, max_level: int, branch: int, ftype,
     return q, top_level
 
 
+def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
+    """Leaf-cell (mass, mass-weighted position) via compensated prefix sums
+    + ONE boundary row gather, replacing three 8^L-segment scatter-adds.
+
+    Measured on v5e at N=1M (scripts/microbench_tpu.py): a 1-D sorted
+    segment-sum into 2M cells costs ~10 ms *each* (scatter-add is
+    per-element-serial regardless of output size), while a dense scan is
+    0.2-1.4 ms and an 8-wide row gather of 2M rows ~1 ms — so the three
+    value segment-sums (~28 ms) become ~5 ms of scans + gathers.
+
+    Precision: a plain f32 prefix-difference would put ~ulp(total-mass)
+    absolute error on every cell — catastrophic for small far cells (a
+    1-particle leaf's COM could shift by the whole domain).  The scan
+    therefore runs in double-float (TwoSum-compensated hi+lo pairs,
+    ~2^-46 relative), and the boundary difference (hi_e - hi_s) +
+    (lo_e - lo_s) keeps that accuracy: the hi difference is exact by
+    Sterbenz whenever it nearly cancels, and the lo difference carries
+    the residual."""
+    w4 = jnp.concatenate([mass_s[:, None], pos_s * mass_s[:, None]], axis=1)
+
+    def comb(a, b):
+        (ah, al), (bh, bl) = a, b
+        s = ah + bh
+        z = s - ah
+        e = (ah - (s - z)) + (bh - z)  # TwoSum rounding error of s
+        return s, e + al + bl
+
+    hi, lo = jax.lax.associative_scan(
+        comb, (w4, jnp.zeros_like(w4)), axis=0
+    )
+    zero = jnp.zeros((1, 4), w4.dtype)
+    P = jnp.concatenate(
+        [jnp.concatenate([zero, hi]), jnp.concatenate([zero, lo])], axis=1
+    )  # [N+1, 8] — one row-gather table (hi | lo)
+    R = P[leaf_starts]  # [8^L + 1, 8]
+    d = R[1:] - R[:-1]
+    vals = d[:, :4] + d[:, 4:]
+    return vals[:, 0], vals[:, 1:4]
+
+
 def _check_range_dtype(n: int, ftype) -> None:
     """Packed node rows store particle-range starts/ends in the position
     dtype; counts beyond the mantissa (2^24 in f32, 2^53 in f64) would
@@ -265,20 +305,33 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
     )
     pos_s = jnp.stack([xs, ys, zs], axis=1)
 
-    # leaf level: one sorted segment-sum.  The [N, 3] moment sum runs as
-    # three lane-dense 1-D segment-sums: a 3-wide minor dim scatters at
-    # 3/128 lane utilization (41.5 ms vs 3x9 ms at N=1M, profiled —
-    # scripts/profile_1m.py fusion.37).
-    seg = partial(
-        jax.ops.segment_sum,
-        segment_ids=code_s,
-        num_segments=n_leaf,
+    # leaf level: ONE sorted segment-sum (counts — ranges need it), then
+    # mass/mpos from compensated prefix sums + a boundary row gather
+    # (_prefix_leaf_stats) — 3 segment-sums (~28 ms at 1M) become ~5 ms.
+    # The boundary gather is CELL-count-proportional (8^L rows regardless
+    # of N), so the prefix path only wins in the dense regime; sparse
+    # occupancy keeps the N-proportional segment-sums (131k at L=7
+    # regressed 25.7 -> 20.0 steps/s before this gate).
+    leaf_counts = jax.ops.segment_sum(
+        jnp.ones_like(code_s), code_s, num_segments=n_leaf,
         indices_are_sorted=True,
-    )
-    leaf_mass = seg(mass_s)
-    w = pos_s * mass_s[:, None]
-    leaf_mpos = jnp.stack([seg(w[:, d]) for d in range(3)], axis=1)
-    leaf_counts = seg(jnp.ones_like(code_s))  # dead (sentinel) codes drop out
+    )  # dead (sentinel) codes drop out
+    if n * 4 >= n_leaf:
+        leaf_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(leaf_counts).astype(jnp.int32)]
+        )
+        leaf_mass, leaf_mpos = _prefix_leaf_stats(pos_s, mass_s, leaf_starts)
+    else:
+        seg = partial(
+            jax.ops.segment_sum,
+            segment_ids=code_s,
+            num_segments=n_leaf,
+            indices_are_sorted=True,
+        )
+        leaf_mass = seg(mass_s)
+        w = pos_s * mass_s[:, None]
+        leaf_mpos = jnp.stack([seg(w[:, d]) for d in range(3)], axis=1)
 
     # counts < 2^24 are exact in f32; f64 under x64
     level_mass, level_mpos, level_table, leaf_starts = _pyramid_tables(
@@ -321,9 +374,11 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
     ``pos_loc/mass_loc`` are this chip's shard; ``pos_all/mass_all`` the
     already-all-gathered full arrays (the traversal needs them anyway, so
     the build reuses them instead of gathering twice).  Dead particles must
-    already have mass 0.  Produces bit-identical structure to
-    ``build_octree(pos_all, mass_all, ...)`` (same stable sort), with leaf
-    statistics differing only by partial-sum association order.
+    already have mass 0.  Produces the same stable sort and exact integer
+    counts as ``build_octree(pos_all, mass_all, ...)``; leaf mass/mpos are
+    bit-identical in the dense regime (replicated prefix scan) and differ
+    only by partial-sum association order in the sparse regime (per-chip
+    segment-sums + psum).
     """
     n_loc = pos_loc.shape[0]
     n_tot = pos_all.shape[0]
@@ -360,18 +415,36 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
     pos_s = jax.lax.all_gather(pos_s_my, axis, tiled=True)
     mass_s = jax.lax.all_gather(mass_s_my, axis, tiled=True)
 
-    # 4. Leaf statistics: per-chip segment-sum over its contiguous sorted
-    #    slice (still sorted, so the fast path applies), merged with one psum.
+    # 4. Leaf statistics: per-chip COUNTS segment-sum over its contiguous
+    #    sorted slice merged with one integer psum (exact, order-free —
+    #    bit-identical to single-chip); mass/mpos from the same compensated
+    #    prefix path as the single-chip build, run on the already-gathered
+    #    sorted arrays — replicated work (a ~3 ms dense scan at 1M) that
+    #    REMOVES three [8^L] float psums and stays bit-identical to
+    #    build_octree.
     code_s_my = jax.lax.dynamic_slice(code_s, (my * n_loc,), (n_loc,))
-    seg = partial(
-        jax.ops.segment_sum,
-        segment_ids=code_s_my,
-        num_segments=n_leaf,
-        indices_are_sorted=True,
+    leaf_counts = jax.lax.psum(
+        jax.ops.segment_sum(
+            jnp.ones_like(code_s_my), code_s_my, num_segments=n_leaf,
+            indices_are_sorted=True,
+        ),
+        axis,
     )
-    leaf_mass = jax.lax.psum(seg(mass_s_my), axis)
-    leaf_mpos = jax.lax.psum(seg(pos_s_my * mass_s_my[:, None]), axis)
-    leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
+    if n_tot * 4 >= n_leaf:  # same dense-regime gate as build_octree
+        leaf_starts0 = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(leaf_counts).astype(jnp.int32)]
+        )
+        leaf_mass, leaf_mpos = _prefix_leaf_stats(pos_s, mass_s, leaf_starts0)
+    else:
+        seg = partial(
+            jax.ops.segment_sum,
+            segment_ids=code_s_my,
+            num_segments=n_leaf,
+            indices_are_sorted=True,
+        )
+        leaf_mass = jax.lax.psum(seg(mass_s_my), axis)
+        leaf_mpos = jax.lax.psum(seg(pos_s_my * mass_s_my[:, None]), axis)
 
     # 5. Pyramid + packed tables: dense reshape-sums over 8^L cells —
     #    bandwidth-trivial, replicated.

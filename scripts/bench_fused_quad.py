@@ -28,8 +28,10 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "fused_r2.jsonl")
 STEPS = 25
 
-SUFFIX = "_v3"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
-# chunk_groups=8 (vmapped collect walk)
+SUFFIX = "_v4"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
+# chunk_groups=8 (vmapped collect walk); v4 = maskless pair kernels
+# (self-pairs vanish via d=0) + prefix-scan leaf build (ops/tree.py
+# _prefix_leaf_stats)
 CASES = [
     # (name, n, engine_options)
     ("quad_1m", 1 << 20, None),                          # the defaults

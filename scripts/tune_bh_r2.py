@@ -151,6 +151,30 @@ CONFIGS = {
     "quad4_g4_1m_cg16": dict(eval_mode="pallas", group_size=4096,
                              subgroups=64, chunk_groups=16, start_level=3,
                              quad_leaf=False, accept_margin=0.8),
+    # round-2f (v4): maskless kernels cut the per-pair cost ~20%, so the
+    # window/group economics shift toward fewer dense pairs — re-probe the
+    # knobs the kernel price used to pin
+    "quad5_g8": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                     chunk_groups=8, start_level=3, quad_leaf=False,
+                     accept_margin=0.8),
+    "quad5_g4": dict(eval_mode="pallas", group_size=4096, subgroups=64,
+                     chunk_groups=8, start_level=3, quad_leaf=False,
+                     accept_margin=0.8),
+    "quad5_g8_pad1024": dict(eval_mode="pallas", group_size=8192,
+                             subgroups=128, chunk_groups=8, start_level=3,
+                             quad_leaf=False, accept_margin=0.8,
+                             window_pad=1024, near_particle_cap=16384,
+                             near_cell_cap=4096),
+    "quad5_g8_pad3072": dict(eval_mode="pallas", group_size=8192,
+                             subgroups=128, chunk_groups=8, start_level=3,
+                             quad_leaf=False, accept_margin=0.8,
+                             window_pad=3072),
+    "quad5_g8_s256": dict(eval_mode="pallas", group_size=8192,
+                          subgroups=256, chunk_groups=8, start_level=3,
+                          quad_leaf=False, accept_margin=0.8),
+    "quad5_g8_sl4": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                         chunk_groups=8, start_level=4, quad_leaf=False,
+                         accept_margin=0.8),
 }
 
 

@@ -104,7 +104,10 @@ def test_group_force_kernel_interpret_matches_xla_eval():
     slab = np.zeros((G, S, 8), np.float32)
     slab[:, :, :3] = rng.standard_normal((G, S, 3))
     slab[:, :, 3] = rng.uniform(0.5, 1.5, (G, S))
-    slab[:, :, 4] = rng.integers(0, G * B, (G, S))
+    # non-target indices: in production, index equality implies position
+    # equality (window/near rows are genuine particle rows), and the kernel
+    # relies on that — self-pairs vanish via d = 0, not an index test
+    slab[:, :, 4] = rng.integers(G * B, 2 * G * B, (G, S))
     # species: first B rows = the group's own particles (self-pairs!)
     slab[:, :B] = tgt8
     # monopole rows: idx = -1
