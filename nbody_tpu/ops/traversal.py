@@ -389,9 +389,10 @@ def _group_collect(
     """Traversal (collection only) for ONE group (vmapped over groups).
 
     gpos [B,3], gmass [B], gidx [B] (global sorted indices).  Returns
-    (mono slab [accept_cap, 8], near pidx [P], near pvalid [P],
-     far pidx [Pf], far pvalid [Pf], wmask [W], wstart, center [3],
-     acc_fb [B,3], stats...).
+    (mono slab [accept_cap, 8], near cell ids [near_cell_cap] + valid,
+     far cell ids [far_cell_cap] + valid, wmask [W], wstart, center [3],
+     acc_fb [B,3], stats...); the caller expands cell ids to particle
+     lists post-walk (_expand_ranges).
 
     ``local_bounds`` (domain decomposition, parallel/domain.py): the global
     sorted range [lo, hi) this chip can gather locally (its halo-extended
@@ -560,18 +561,14 @@ def _group_collect(
                     ids, expand_far, cfg.far_cell_cap
                 )
 
-    # ---- residual near field: boundary cells -> padded particle id list ----
-    pidx, pvalid, total = _ranges_to_pidx(
-        tree.level_table[L], near_ids, near_valid, cfg.near_particle_cap
-    )
-    if local_bounds is not None:
-        pidx_far, pfvalid, total_far = _ranges_to_pidx(
-            tree.level_table[L], far_ids, far_valid, cfg.far_particle_cap
-        )
-    else:
-        pidx_far = jnp.zeros((0,), jnp.int32)
-        pfvalid = jnp.zeros((0,), bool)
-        total_far = jnp.int32(0)
+    # residual near field stays as CELL ids here; the caller expands them
+    # to particle-id lists AFTER the chunked walk with flat index
+    # arithmetic (_expand_ranges) — doing it here under vmap lowered the
+    # per-group offs/nstart lookups to batched gathers, measured ~8 ms
+    # per step each at 1M (profile_1m fusion.473/474)
+    if local_bounds is None:
+        far_ids = jnp.zeros((0,), jnp.int32)
+        far_valid = jnp.zeros((0,), bool)
 
     wmask = jnp.cumsum(delta)[:W] > 0
 
@@ -585,33 +582,43 @@ def _group_collect(
     else:
         acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
 
-    stats = (a_dropped, f_fallback, n_fallback, fb_spill, total + total_far)
-    return (mono[: cfg.accept_cap], pidx, pvalid, pidx_far, pfvalid,
+    stats = (a_dropped, f_fallback, n_fallback, fb_spill)
+    return (mono[: cfg.accept_cap], near_ids, near_valid, far_ids, far_valid,
             wmask, wstart, center, acc_fb, stats)
 
 
-def _ranges_to_pidx(leaf_table, cell_ids, cell_valid, cap):
-    """Expand leaf-cell particle ranges into a padded flat index list.
-    Slot k belongs to the c-th cell, c = #offs <= k — computed with one
-    scatter + cumsum instead of a cap-wide binary search.
-    Returns (pidx [cap], pvalid [cap], total)."""
-    n_cells = cell_ids.shape[0]
-    nrow = leaf_table[cell_ids]
-    nstart = nrow[:, 4].astype(jnp.int32)
-    nend = nrow[:, 5].astype(jnp.int32)
-    counts = jnp.where(cell_valid, nend - nstart, 0).astype(jnp.int32)
-    offs = jnp.cumsum(counts)
-    total = offs[-1]
+def _expand_ranges(leaf_table, cell_ids, cell_valid, cap):
+    """Expand leaf-cell particle ranges into padded flat index lists for
+    ALL groups at once (called after the chunked walk).  Slot k belongs to
+    the c-th cell, c = #offs <= k — one scatter + row cumsum instead of a
+    cap-wide binary search.  Everything uses FLAT index arithmetic: the
+    vmapped per-group version lowered the offs/nstart lookups to batched
+    gathers, ~8 ms per step each at 1M (profile_1m fusion.473/474).
 
-    marks = jnp.zeros((cap + 1,), jnp.int32).at[jnp.minimum(offs, cap)].add(
-        jnp.where(cell_valid, 1, 0)
+    cell_ids [G, C], cell_valid [G, C] ->
+    (pidx [G, cap], pvalid [G, cap], total [G])."""
+    G, C = cell_ids.shape
+    nrow = leaf_table[cell_ids]  # shared-table row gather (fast path)
+    nstart = nrow[..., 4].astype(jnp.int32)
+    nend = nrow[..., 5].astype(jnp.int32)
+    counts = jnp.where(cell_valid, nend - nstart, 0).astype(jnp.int32)
+    offs = jnp.cumsum(counts, axis=1)
+    total = offs[:, -1]
+
+    g_row = jnp.arange(G, dtype=jnp.int32)[:, None]
+    stride = cap + 1
+    marks = jnp.zeros((G * stride,), jnp.int32).at[
+        g_row * stride + jnp.minimum(offs, cap)
+    ].add(jnp.where(cell_valid, 1, 0))
+    cell_of_k = jnp.cumsum(marks.reshape(G, stride), axis=1)[:, :cap]
+    cell_of_k = jnp.minimum(cell_of_k, C - 1)
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    offs_flat = offs.reshape(G * C)
+    base = jnp.where(
+        cell_of_k > 0, offs_flat[g_row * C + jnp.maximum(cell_of_k - 1, 0)], 0
     )
-    cell_of_k = jnp.cumsum(marks)[:cap]
-    cell_of_k = jnp.minimum(cell_of_k, n_cells - 1)
-    k = jnp.arange(cap, dtype=jnp.int32)
-    base = jnp.where(cell_of_k > 0, offs[jnp.maximum(cell_of_k - 1, 0)], 0)
-    pidx = nstart[cell_of_k] + (k - base)
-    pvalid = k < jnp.minimum(total, cap)
+    pidx = nstart.reshape(G * C)[g_row * C + cell_of_k] + (k - base)
+    pvalid = k < jnp.minimum(total, cap)[:, None]
     pidx = jnp.where(pvalid, pidx, 0)
     return pidx, pvalid, total
 
@@ -850,19 +857,25 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         cp8, ci = args
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
-    (mono, pidx, pvalid, _pf, _pfv, wmask, wstart, center, acc_fb,
+    (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, acc_fb,
      stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G_my = my_chunks * CG
     W = window
     P = cfg.near_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)
-    pidx = pidx.reshape(G_my, P)
-    pvalid = pvalid.reshape(G_my, P)
     wmask = wmask.reshape(G_my, W)
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill, ntot = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+
+    # near cells -> flat particle lists, all groups at once (flat gathers)
+    pidx, pvalid, ntot = _expand_ranges(
+        tree.level_table[cfg.max_level],
+        near_ids.reshape(G_my, cfg.near_cell_cap),
+        near_valid.reshape(G_my, cfg.near_cell_cap),
+        P,
+    )
 
     # ---- slab assembly: window slice + near gather + multipole slab ----
     wrows = jax.vmap(

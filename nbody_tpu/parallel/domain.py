@@ -59,6 +59,7 @@ from nbody_tpu.ops.tree import (
 )
 from nbody_tpu.ops.traversal import (
     BHConfig,
+    _expand_ranges,
     _group_collect,
     _quad_eval,
     _quad_slab,
@@ -294,20 +295,32 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         cp8, cidx = args
         return vm_collect(cp8[..., :3], cp8[..., 3], cidx)
 
-    (mono, pidx, pvalid, pidx_f, pfvalid, wmask, wstart, center, acc_fb,
-     stats_t) = jax.lax.map(chunk_body, (ct8, ci))
+    (mono, near_ids, near_valid, far_ids, far_valid, wmask, wstart, center,
+     acc_fb, stats_t) = jax.lax.map(chunk_body, (ct8, ci))
     P = cfg.near_particle_cap
     Pf = cfg.far_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)
-    pidx = pidx.reshape(G_my, P)
-    pvalid = pvalid.reshape(G_my, P)
-    pidx_f = pidx_f.reshape(G_my, Pf)
-    pfvalid = pfvalid.reshape(G_my, Pf)
     wmask = wmask.reshape(G_my, window)
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill, ntot = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+
+    # near/far cells -> flat particle lists post-walk (see _expand_ranges)
+    leaf_table = tree.level_table[cfg.max_level]
+    pidx, pvalid, ntot_near = _expand_ranges(
+        leaf_table,
+        near_ids.reshape(G_my, cfg.near_cell_cap),
+        near_valid.reshape(G_my, cfg.near_cell_cap),
+        P,
+    )
+    pidx_f, pfvalid, ntot_far = _expand_ranges(
+        leaf_table,
+        far_ids.reshape(G_my, cfg.far_cell_cap),
+        far_valid.reshape(G_my, cfg.far_cell_cap),
+        Pf,
+    )
+    ntot = ntot_near + ntot_far
 
     # ---- slab assembly ----
     # window rows from the halo-extended local slab (one dynamic_slice per
