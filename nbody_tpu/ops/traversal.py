@@ -613,11 +613,15 @@ def _expand_ranges(leaf_table, cell_ids, cell_valid, cap):
     cell_of_k = jnp.cumsum(marks.reshape(G, stride), axis=1)[:, :cap]
     cell_of_k = jnp.minimum(cell_of_k, C - 1)
     k = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    offs_flat = offs.reshape(G * C)
-    base = jnp.where(
-        cell_of_k > 0, offs_flat[g_row * C + jnp.maximum(cell_of_k - 1, 0)], 0
+    # ONE flat scalar gather of (start - prior_offs): merging the two v5
+    # gathers (base + nstart) halves the slow per-element lookups; packing
+    # them as 8-wide rows instead was measured WORSE (4.33 -> 4.13 steps/s
+    # @1M mono) — the [G*C, 8] pack + 32 MB gather output costs more than
+    # the scalar gather it replaces
+    rebase = nstart - jnp.concatenate(
+        [jnp.zeros((G, 1), jnp.int32), offs[:, :-1]], axis=1
     )
-    pidx = nstart.reshape(G * C)[g_row * C + cell_of_k] + (k - base)
+    pidx = rebase.reshape(G * C)[g_row * C + cell_of_k] + k
     pvalid = k < jnp.minimum(total, cap)[:, None]
     pidx = jnp.where(pvalid, pidx, 0)
     return pidx, pvalid, total

@@ -143,51 +143,68 @@ def grid_bounds(bounds, max_level: int):
 
 
 def _build_quad(pos_s, mass_s, code_s, max_level: int, branch: int, ftype,
-                quad_leaf: bool):
+                quad_leaf: bool, leaf_starts=None):
     """Build the concatenated quadrupole table from sorted particles.
     quad_leaf=False segments directly into the level-(L-1) cells
     (code // branch), skipping the leaf level's 8^L-cell segment-sum and
-    reduction — the build's largest quad stage."""
+    reduction — the build's largest quad stage.
+
+    ``leaf_starts`` enables a prefix-scan variant — measured SLOWER than
+    the segment-sum here (quad@1M 4.12 -> 3.74 steps/s): the [N, 6]
+    scatter into 262k cache-resident cells is already cheap, while six
+    df-scan columns cost ~8 ms.  Kept for the record; callers pass None."""
     if quad_leaf:
         top_level = max_level
         seg_ids = code_s
+        stride = 1
     else:
         top_level = max_level - 1
         # dead-particle sentinel (branch^L) maps to branch^(L-1) == the
         # out-of-range segment -> dropped, same as the leaf build
         seg_ids = code_s // branch
-    # one [N, 6] scatter: measured FASTER here than six 1-D segment-sums
-    # (9.4 vs ~48 ms at N=1M) — the opposite of the leaf mpos finding,
-    # because the 262k-segment output stays cache-resident while six
-    # passes re-stream the 1M ids/values six times
-    q = jax.ops.segment_sum(
-        _quad_moments(pos_s, mass_s),
-        segment_ids=seg_ids,
-        num_segments=branch ** top_level,
-        indices_are_sorted=True,
-    )
+        stride = branch
+    if leaf_starts is not None:
+        m6 = _quad_moments(pos_s, mass_s)
+        starts = leaf_starts[::stride]
+        q = jnp.concatenate(
+            [_prefix_range_sums(m6[:, :3], starts),
+             _prefix_range_sums(m6[:, 3:], starts)],
+            axis=1,
+        )
+    else:
+        # one [N, 6] scatter: measured FASTER than six 1-D segment-sums
+        # (9.4 vs ~48 ms at N=1M) — the 262k-segment output stays
+        # cache-resident while six passes re-stream the ids/values
+        q = jax.ops.segment_sum(
+            _quad_moments(pos_s, mass_s),
+            segment_ids=seg_ids,
+            num_segments=branch ** top_level,
+            indices_are_sorted=True,
+        )
     return q, top_level
 
 
-def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
-    """Leaf-cell (mass, mass-weighted position) via compensated prefix sums
-    + ONE boundary row gather, replacing three 8^L-segment scatter-adds.
+def _prefix_range_sums(vals, starts):
+    """Per-range sums of sorted per-particle values via compensated prefix
+    sums + boundary row gathers, replacing K-column scatter-add
+    segment-sums.  ``vals`` [N, K] (K <= 4 per 8-wide gather table),
+    ``starts`` [C + 1] sorted range boundaries -> [C, K].
 
     Measured on v5e at N=1M (scripts/microbench_tpu.py): a 1-D sorted
     segment-sum into 2M cells costs ~10 ms *each* (scatter-add is
     per-element-serial regardless of output size), while a dense scan is
-    0.2-1.4 ms and an 8-wide row gather of 2M rows ~1 ms — so the three
-    value segment-sums (~28 ms) become ~5 ms of scans + gathers.
+    0.2-1.4 ms and an 8-wide row gather of 2M rows ~1 ms.
 
-    Precision: a plain f32 prefix-difference would put ~ulp(total-mass)
-    absolute error on every cell — catastrophic for small far cells (a
+    Precision: a plain f32 prefix-difference would put ~ulp(total)
+    absolute error on every range — catastrophic for small far cells (a
     1-particle leaf's COM could shift by the whole domain).  The scan
     therefore runs in double-float (TwoSum-compensated hi+lo pairs,
     ~2^-46 relative), and the boundary difference (hi_e - hi_s) +
     (lo_e - lo_s) keeps that accuracy: the hi difference is exact by
     Sterbenz whenever it nearly cancels, and the lo difference carries
     the residual."""
-    w4 = jnp.concatenate([mass_s[:, None], pos_s * mass_s[:, None]], axis=1)
+    N, K = vals.shape
+    assert K <= 4, K
 
     def comb(a, b):
         (ah, al), (bh, bl) = a, b
@@ -197,15 +214,24 @@ def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
         return s, e + al + bl
 
     hi, lo = jax.lax.associative_scan(
-        comb, (w4, jnp.zeros_like(w4)), axis=0
+        comb, (vals, jnp.zeros_like(vals)), axis=0
     )
-    zero = jnp.zeros((1, 4), w4.dtype)
-    P = jnp.concatenate(
-        [jnp.concatenate([zero, hi]), jnp.concatenate([zero, lo])], axis=1
-    )  # [N+1, 8] — one row-gather table (hi | lo)
-    R = P[leaf_starts]  # [8^L + 1, 8]
+    zero = jnp.zeros((1, K), vals.dtype)
+    pad = jnp.zeros((N + 1, 8 - 2 * K), vals.dtype) if K < 4 else None
+    parts = [jnp.concatenate([zero, hi]), jnp.concatenate([zero, lo])]
+    if pad is not None:
+        parts.append(pad)
+    P = jnp.concatenate(parts, axis=1)  # [N+1, 8] row-gather table (hi|lo)
+    R = P[starts]  # [C + 1, 8]
     d = R[1:] - R[:-1]
-    vals = d[:, :4] + d[:, 4:]
+    return d[:, :K] + d[:, K:2 * K]
+
+
+def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
+    """Leaf-cell (mass, mass-weighted position) via _prefix_range_sums —
+    three 8^L-cell segment-sums (~28 ms at 1M) become ~5 ms."""
+    w4 = jnp.concatenate([mass_s[:, None], pos_s * mass_s[:, None]], axis=1)
+    vals = _prefix_range_sums(w4, leaf_starts)
     return vals[:, 0], vals[:, 1:4]
 
 

@@ -28,11 +28,12 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "fused_r2.jsonl")
 STEPS = 25
 
-SUFFIX = "_v5"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
+SUFFIX = "_v6"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
 # chunk_groups=8 (vmapped collect walk); v4 = maskless pair kernels
 # (self-pairs vanish via d=0) + prefix-scan leaf build (ops/tree.py
 # _prefix_leaf_stats); v5 = + post-walk flat near-cell expansion
-# (_expand_ranges replaces the vmapped per-group _ranges_to_pidx)
+# (_expand_ranges replaces the vmapped per-group _ranges_to_pidx);
+# v6 = + row-packed expansion gathers + prefix-scan quad build at L6
 # Optional CLI args filter cases by substring: bench_fused_quad.py 1m 131k
 CASES = [
     # (name, n, engine_options)
