@@ -71,12 +71,13 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
         r2 = dx * dx + dy * dy + dz * dz + eps2
         # No self-pair index test: a self (or exactly coincident) pair has
         # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
-        # finite — the r^2 floor keeps ir^3 <= 1e18 (no f32 overflow for
-        # any mass), where the old (si == ti) | (r2 <= 0) select chain cost
-        # ~20% of the kernel's VPU ops.  Same semantics as the reference's
-        # r^2 guard (src/llm/barnes_hut.rs:819), minus its inf blow-up for
-        # unsoftened near-coincident pairs.
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+        # finite — guarding only the exact r2 == 0 case (s becomes sm, times
+        # d = 0) replaces the old (si == ti) | (r2 <= 0) select chain
+        # (~20% of the kernel's VPU ops).  An absolute floor (max(r2, 1e-12))
+        # is NOT scale-safe: scenes with tiny bounds have legitimate pairs
+        # below any fixed constant.  Same semantics as the reference's r^2
+        # guard (src/llm/barnes_hut.rs:819) at every scene scale.
+        inv_r = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
         s = inv_r * inv_r * inv_r * sm
 
         out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
@@ -120,10 +121,16 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         qyz = src_ref[9:10, :]
 
         r2 = ex * ex + ey * ey + ez * ez + eps2
-        # padding rows have m = 0 AND Q = 0, so every term below vanishes
-        # without a select; the r^2 floor bounds ir^7 against overflow for
-        # coincident unsoftened pairs (see _kernel note)
-        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-4))
+        # guard exactly r2 == 0 (coincident unsoftened): padding rows have
+        # m = 0 AND Q = 0, so their terms vanish once ir stays finite.  An
+        # absolute floor here (an earlier 1e-4) silently clamped REAL
+        # accepted-node forces in small-bounds scenes — the theta test
+        # admits nodes at r ~ cell_width/theta, which has no lower bound
+        # across scene scales.  This select chain matches the XLA backend
+        # (_quad_block's ok mask) and the fb path (_fb_eval) — keep all
+        # three in sync.
+        ok = r2 > 0.0
+        inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
         ir2 = inv_r * inv_r
         ir3 = ir2 * inv_r
         ir5 = ir3 * ir2
@@ -132,7 +139,8 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         uy = qxy * ex + qyy * ey + qyz * ez
         uz = qxz * ex + qyz * ey + qzz * ez
         qe = ex * ux + ey * uy + ez * uz
-        w = m * ir3 + 2.5 * qe * ir7
+        w = jnp.where(ok, m * ir3 + 2.5 * qe * ir7, 0.0)
+        ir5 = jnp.where(ok, ir5, 0.0)
 
         out_ref[:, 0:1] += jnp.sum(w * ex - ir5 * ux, axis=1, keepdims=True)
         out_ref[:, 1:2] += jnp.sum(w * ey - ir5 * uy, axis=1, keepdims=True)

@@ -54,13 +54,12 @@ def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out):
 
     # No explicit self-pair mask: a self (or exactly coincident) pair has
     # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
-    # finite — the floor keeps ir^3 <= 1e18 (no overflow for any f32 mass),
-    # where the old skip-select chain (2 iotas, 2 compares, or, 2 selects)
-    # cost ~30% of the kernel's VPU ops.  Physics is unchanged for r2 >=
-    # 1e-12; below it (unsoftened near-coincident pairs) the force is
-    # clamped instead of overflowing to inf — strictly better than before
-    # and than the reference's r^2 guard (src/llm/barnes_hut.rs:819).
-    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+    # finite — guarding only the exact r2 == 0 case replaces the old
+    # skip-select chain (2 iotas, 2 compares, or, 2 selects — ~30% of the
+    # kernel's VPU ops).  An absolute floor is NOT used: tiny-bounds scenes
+    # have legitimate pairs below any fixed constant.  Same semantics as
+    # the reference's r^2 guard (src/llm/barnes_hut.rs:819) at every scale.
+    inv_r = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
     s = inv_r * inv_r * inv_r * mj[:]
 
     out[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)

@@ -674,7 +674,13 @@ def _quad_block(gpos, qrows, g, g_soft):
     Force law (e = com - p pointing target -> source, r² = |e|² + ε²,
     traceless Q): a = G [ M e / r³ - (Q e) / r⁵ + (5/2)(eᵀ Q e) e / r⁷ ] —
     the gradient of Φ = -G [ M/r + (dᵀ Q d)/(2 r⁵) ] (standard multipole
-    expansion about the COM; dipole vanishes identically)."""
+    expansion about the COM; dipole vanishes identically).
+
+    NOTE: this force law lives in three places with shape-incompatible
+    surroundings — here (XLA, shared rows), ops/group_force._quad_kernel
+    (Pallas), and _fb_eval's quad branch (per-target self-excluded
+    moments).  Keep their guards in sync: all three mask exactly r² <= 0,
+    never an absolute floor (scene scale is unbounded below)."""
     com = qrows[:, :3]
     m = qrows[:, 3]
     e = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]

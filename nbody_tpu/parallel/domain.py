@@ -257,7 +257,15 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
 
     # windows are capped to the shard size; halo = window guarantees every
     # clipped window [wstart, wstart + W) of my groups lies inside
-    # [my_start - W, my_start + n_loc + W)
+    # [my_start - W, my_start + n_loc + W) — PROVIDED wstart cannot fall
+    # below my_start - halo.  _group_collect computes wstart from
+    # cfg.window_pad (not the clamped width), so window_pad > n_loc would
+    # silently shift the slab region away from the covered-cell
+    # bookkeeping (wrong forces, zero fallback stats) — fail loudly.
+    assert cfg.window_pad <= n_loc, (
+        f"window_pad ({cfg.window_pad}) exceeds the per-chip shard "
+        f"({n_loc}); lower window_pad/group_size or use fewer devices"
+    )
     window = min(cfg.window, n_loc)
     halo = window
 

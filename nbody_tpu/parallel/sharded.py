@@ -142,7 +142,8 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             # leaf segment-sum, merged with psum/all_gather (tree.py)
             tree = build_octree_sharded(
                 pos, mass_eff, pos_all, mass_all, params.bounds,
-                cfg.max_level, axis, quad=cfg.multipole == "quad",
+                cfg.max_level, axis, dim=cfg.dim,
+                quad=cfg.multipole == "quad", quad_leaf=cfg.quad_leaf,
             )
             n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
             first = (my * (n_chunks // n_dev)).astype(jnp.int32)

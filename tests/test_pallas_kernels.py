@@ -197,3 +197,39 @@ def test_traversal_pallas_mode_matches_xla_mode():
         group_force.quad_force_pallas = orig_q
     assert _rel_err(acc_pl, acc_xla) < 5e-4
     assert int(stats["accept_dropped"]) == 0
+
+
+def test_quad_kernel_small_scale_scene_matches_xla():
+    """Scale-safety regression: an absolute r^2 floor in the quad kernel
+    (an earlier 1e-4) silently clamped REAL accepted-node forces once the
+    scene's bounds shrank — theta acceptance admits nodes at r ~
+    cell_width/theta, which has no lower bound across scene scales.  Run
+    the kernel on a slab whose distances sit well below 1e-2 and demand
+    agreement with the XLA backend."""
+    from nbody_tpu.ops.group_force import quad_force_pallas
+    from nbody_tpu.ops.traversal import _quad_block
+
+    rng = np.random.default_rng(3)
+    G, B, A, tile = 2, 128, 256, 128
+    scale = 1e-3  # typical |e| ~ 1e-3, r^2 ~ 1e-6 — inside the old floor
+    tgt8 = np.zeros((G, B, 8), np.float32)
+    tgt8[:, :, :3] = rng.standard_normal((G, B, 3)) * scale
+    qrows = np.zeros((G, A, 16), np.float32)
+    qrows[:, :, :3] = rng.standard_normal((G, A, 3)) * scale
+    qrows[:, :, 3] = rng.uniform(0.5, 1.5, (G, A))
+    # traceless-ish random quadrupoles at the matching scale (m * x^2)
+    q6 = rng.standard_normal((G, A, 6)) * scale * scale
+    qrows[:, :, 4:10] = q6
+    qrows[:, 100:120] = 0.0  # padding rows: m = 0, Q = 0
+
+    g, g_soft = 1.0, 0.0
+    acc_pl = quad_force_pallas(
+        jnp.asarray(tgt8), jnp.swapaxes(jnp.asarray(qrows), 1, 2),
+        g, g_soft, tile=tile, interpret=True,
+    )
+    acc_ref = jax.vmap(
+        lambda t8, qr: _quad_block(t8[:, :3], qr, g, g_soft)
+    )(jnp.asarray(tgt8), jnp.asarray(qrows))
+    err = _rel_err(acc_pl.reshape(-1, 3), acc_ref.reshape(-1, 3))
+    assert err < 5e-5, err  # tile-accumulation vs XLA sum order
+
