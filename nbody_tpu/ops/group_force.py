@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
+def _kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -71,13 +71,20 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref):
         r2 = dx * dx + dy * dy + dz * dz + eps2
         # No self-pair index test: a self (or exactly coincident) pair has
         # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
-        # finite — guarding only the exact r2 == 0 case (s becomes sm, times
-        # d = 0) replaces the old (si == ti) | (r2 <= 0) select chain
-        # (~20% of the kernel's VPU ops).  An absolute floor (max(r2, 1e-12))
-        # is NOT scale-safe: scenes with tiny bounds have legitimate pairs
-        # below any fixed constant.  Same semantics as the reference's r^2
-        # guard (src/llm/barnes_hut.rs:819) at every scene scale.
-        inv_r = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
+        # finite — only the exact r2 == 0 case needs a guard (replacing the
+        # old (si == ti) | (r2 <= 0) select chain, ~20% of the kernel's VPU
+        # ops).  An absolute floor (max(r2, 1e-12)) is NOT scale-safe:
+        # tiny-bounds scenes have legitimate pairs below any fixed
+        # constant.  With softening, r2 >= eps2 > 0 makes even that guard
+        # dead weight (~3% of the step at 1M), so ``guard`` is a STATIC
+        # kernel parameter and the wrapper lax.cond's on the softening
+        # scalar (an in-kernel pl.when branch pair blew the 16 MB scoped
+        # VMEM: both branch bodies' temporaries are allocated).  Semantics
+        # match the reference's r^2 guard (src/llm/barnes_hut.rs:819) at
+        # every scene scale.
+        if guard:
+            r2 = jnp.where(r2 > 0.0, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2)
         s = inv_r * inv_r * inv_r * sm
 
         out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
@@ -234,28 +241,42 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
     bt = B // ti
 
-    out = pl.pallas_call(
-        _kernel,
-        grid=(G, bt, S // tile),
-        in_specs=[
-            pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile), lambda gi, bi, j: (gi, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(G) * int(B) * int(S) * 13,
-            bytes_accessed=int(G) * (int(B) * 64 + int(S) * 32 * int(bt)),
-            transcendentals=int(G) * int(B) * int(S),
-        ),
-        interpret=interpret,
-    )(scal, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
+    def call(guard):
+        return pl.pallas_call(
+            functools.partial(_kernel, guard=guard),
+            grid=(G, bt, S // tile),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ti, 8),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tile), lambda gi, bi, j: (gi, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(G) * int(B) * int(S) * 13,
+                bytes_accessed=int(G) * (int(B) * 64 + int(S) * 32 * int(bt)),
+                transcendentals=int(G) * int(B) * int(S),
+            ),
+            interpret=interpret,
+        )
+
+    args = (scal, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
+    # runtime branch on the softening scalar (see the in-kernel note):
+    # softened runs take the guard-free kernel
+    out = jax.lax.cond(
+        scal[0, 0] > 0.0,
+        lambda a: call(False)(*a),
+        lambda a: call(True)(*a),
+        args,
+    )
     return (out[:, :3] * g).reshape(G, B, 3)

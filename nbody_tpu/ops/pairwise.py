@@ -36,7 +36,7 @@ from nbody_tpu.core.state import SimParams
 from nbody_tpu.engines import Engine, register
 
 
-def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out):
+def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out, *, guard):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,12 +54,17 @@ def _kernel(scal_ref, xi, yi, zi, xj, yj, zj, mj, out):
 
     # No explicit self-pair mask: a self (or exactly coincident) pair has
     # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
-    # finite — guarding only the exact r2 == 0 case replaces the old
-    # skip-select chain (2 iotas, 2 compares, or, 2 selects — ~30% of the
+    # finite — only the exact r2 == 0 case needs a guard (replacing the old
+    # skip-select chain: 2 iotas, 2 compares, or, 2 selects — ~30% of the
     # kernel's VPU ops).  An absolute floor is NOT used: tiny-bounds scenes
-    # have legitimate pairs below any fixed constant.  Same semantics as
-    # the reference's r^2 guard (src/llm/barnes_hut.rs:819) at every scale.
-    inv_r = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
+    # have legitimate pairs below any fixed constant.  With softening,
+    # r2 >= eps2 > 0 makes even that guard dead weight, so ``guard`` is a
+    # STATIC kernel parameter and the wrapper lax.cond's on the softening
+    # scalar.  Same semantics as the reference's r^2 guard
+    # (src/llm/barnes_hut.rs:819) at every scale.
+    if guard:
+        r2 = jnp.where(r2 > 0.0, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2)
     s = inv_r * inv_r * inv_r * mj[:]
 
     out[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
@@ -97,35 +102,45 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
 
-    kernel = _kernel
     grid = (n // tile_i, n // tile_j)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(n) * int(n) * 18,
-            bytes_accessed=int(n) * 4 * 4 + int(n) * 8 * 4,
-            transcendentals=int(n) * int(n),
-        ),
-        interpret=interpret,
-    )(scal, col(x), col(y), col(z), row(x), row(y), row(z), row(mass))
+
+    def call(guard):
+        return pl.pallas_call(
+            functools.partial(_kernel, guard=guard),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(n) * int(n) * 18,
+                bytes_accessed=int(n) * 4 * 4 + int(n) * 8 * 4,
+                transcendentals=int(n) * int(n),
+            ),
+            interpret=interpret,
+        )
+
+    args = (scal, col(x), col(y), col(z), row(x), row(y), row(z), row(mass))
+    # softened runs (r2 >= eps2 > 0) take the guard-free kernel
+    out = jax.lax.cond(
+        scal[0, 0] > 0.0,
+        lambda a: call(False)(*a),
+        lambda a: call(True)(*a),
+        args,
+    )
     return out[:, :3] * g
 
 

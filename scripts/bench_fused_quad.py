@@ -28,12 +28,15 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "fused_r2.jsonl")
 STEPS = 25
 
-SUFFIX = "_v6"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
+SUFFIX = "_v8"  # v2 = scatter->sort + lane-dense segsums; v3 = + auto
 # chunk_groups=8 (vmapped collect walk); v4 = maskless pair kernels
 # (self-pairs vanish via d=0) + prefix-scan leaf build (ops/tree.py
 # _prefix_leaf_stats); v5 = + post-walk flat near-cell expansion
 # (_expand_ranges replaces the vmapped per-group _ranges_to_pidx);
-# v6 = + row-packed expansion gathers + prefix-scan quad build at L6
+# v6 = + merged expansion gather (row-packed + quad-prefix variants
+# measured worse, reverted); v7 = scale-safe r2==0 guards (the review
+# fixes); v8 = + scalar pl.when branch skips the guard when eps2 > 0
+# — the FINAL round-2 numbers
 # Optional CLI args filter cases by substring: bench_fused_quad.py 1m 131k
 CASES = [
     # (name, n, engine_options)
@@ -46,6 +49,9 @@ CASES = [
     ("quad_524k", 1 << 19, None),
     # scaling tail: 4M on one chip (no exact reference possible; perf row)
     ("quad_4m", 1 << 22, None),
+    # capacity headroom: 8M particles on one v5e chip (~0.27 GB state,
+    # slab + window assembly dominate HBM; no exact reference possible)
+    ("quad_8m", 1 << 23, None),
 ]
 
 

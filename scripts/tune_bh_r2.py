@@ -175,6 +175,15 @@ CONFIGS = {
     "quad5_g8_sl4": dict(eval_mode="pallas", group_size=8192, subgroups=128,
                          chunk_groups=8, start_level=4, quad_leaf=False,
                          accept_margin=0.8),
+    # round-2g: the 1M defaults run with fb_spill ~1.7k/step (fb_cap=128
+    # overflows; spilled cells degrade to PLAIN monopole, which may
+    # include a softened self-interaction).  Price the cap that absorbs it.
+    "quad7_fb1024": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                         chunk_groups=8, start_level=3, quad_leaf=False,
+                         accept_margin=0.8, fb_cap=1024),
+    "quad7_fb2048": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                         chunk_groups=8, start_level=3, quad_leaf=False,
+                         accept_margin=0.8, fb_cap=2048),
 }
 
 

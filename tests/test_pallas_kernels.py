@@ -233,3 +233,35 @@ def test_quad_kernel_small_scale_scene_matches_xla():
     err = _rel_err(acc_pl.reshape(-1, 3), acc_ref.reshape(-1, 3))
     assert err < 5e-5, err  # tile-accumulation vs XLA sum order
 
+
+
+def test_unsoftened_coincident_pairs_contribute_zero():
+    """eps = 0 exercises the guarded kernel branch (with softening the
+    scalar pl.when skips the r2 == 0 select entirely): exactly coincident
+    pairs must contribute zero force, not NaN/inf."""
+    from nbody_tpu.ops.group_force import group_force_pallas
+
+    B = 128
+    tgt8 = np.zeros((1, B, 8), np.float32)
+    tgt8[0, :, :3] = np.linspace(0.1, 1.0, B)[:, None] * [[1.0, 0.5, -0.3]]
+    tgt8[0, :, 3] = 1.0
+    tgt8[0, :, 4] = np.arange(B)
+    # slab = the group's own particles (every target has a coincident source)
+    slab = tgt8.copy()
+
+    acc = group_force_pallas(
+        jnp.asarray(tgt8), jnp.swapaxes(jnp.asarray(slab), 1, 2),
+        1.0, 0.0, tile=128, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(acc)))
+    # exact self-pairs contributed zero; remaining pairs are colinear
+    # attractions — compare against the dense reference
+    pos = jnp.asarray(tgt8[0, :, :3])
+    m = jnp.ones((B,), jnp.float32)
+    d = pos[None] - pos[:, None]
+    r2 = jnp.sum(d * d, axis=-1)
+    ok = r2 > 0
+    w = jnp.where(ok, r2 ** -1.5, 0.0)
+    ref = jnp.einsum("ij,ijk->ik", w * m[None], d)
+    np.testing.assert_allclose(np.asarray(acc[0]), np.asarray(ref),
+                               rtol=5e-3, atol=1e-5)  # rsqrt^3 vs **-1.5

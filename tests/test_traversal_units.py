@@ -102,3 +102,19 @@ def test_auto_group_presets():
     for n in (32768, 131072, 1 << 20):
         c = BHConfig.auto_for(n)
         assert n % (c.group_size * c.chunk_groups) == 0
+
+
+def test_fit_chunks_divisibility():
+    from nbody_tpu.ops.traversal import fit_chunks
+
+    # plain divisibility
+    assert fit_chunks(8, 128) == 8
+    assert fit_chunks(8, 12) == 6
+    assert fit_chunks(8, 7) == 7  # 7 divides 7
+    assert fit_chunks(8, 1) == 1
+    # sharded constraint: chunk count (n_groups // cg) divisible by n_shards
+    assert fit_chunks(8, 128, multiple=8) == 8      # 16 chunks / 8 ok
+    assert fit_chunks(8, 32, multiple=8) == 4       # 8 chunks / 8 ok
+    assert fit_chunks(8, 8, multiple=8) == 1        # 8 chunks of 1
+    # cg never exceeds the group count
+    assert fit_chunks(64, 4) == 4
