@@ -940,7 +940,12 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         "frontier_fallback": jnp.sum(fdrop),
         "near_fallback": jnp.sum(ndrop),
         # fb-slab overflow: degraded further to a PLAIN monopole (may
-        # include a softened self-interaction — raise fb_cap if nonzero)
+        # include a softened self-interaction).  The 1M defaults run with
+        # ~1.7k spills/step BY DESIGN: absorbing them (fb_cap=1024) costs
+        # 18% of the step (tune_bh_r2.jsonl quad7_fb1024) and the
+        # measured accuracy envelope (p99 3.0e-2, VALIDATION.md §7)
+        # already includes the spill.  Raise fb_cap only if accuracy
+        # regresses on YOUR scene, not to zero the counter.
         "fb_spill": jnp.sum(fbspill),
         "near_totals": ntot.reshape(-1),  # residual near size per group
     }

@@ -49,9 +49,10 @@ CASES = [
     ("quad_524k", 1 << 19, None),
     # scaling tail: 4M on one chip (no exact reference possible; perf row)
     ("quad_4m", 1 << 22, None),
-    # capacity headroom: 8M particles on one v5e chip (~0.27 GB state,
-    # slab + window assembly dominate HBM; no exact reference possible)
-    ("quad_8m", 1 << 23, None),
+    # 8M was tried and OOMs HBM by ~306 MB (16.05 of 15.75 GB — the
+    # [G, S, 8] slab assembly buffers dominate): the single-chip ceiling
+    # sits between 4M and 8M.  Beyond it is exactly what the
+    # domain-decomposed multi-chip path (parallel/domain.py) is for.
 ]
 
 
