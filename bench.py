@@ -35,6 +35,7 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def main():
+    t_start = time.perf_counter()
     from nbody_tpu.core.state import ParticleState, SimParams
     from nbody_tpu.core.stepper import make_run
     from nbody_tpu.engines import get_engine
@@ -84,7 +85,20 @@ def main():
         "backend": jax.default_backend(),
     }
 
-    # secondary: the BASELINE.json north-star (Barnes-Hut steps/s at N=1M)
+    # secondary: the BASELINE.json north-star (Barnes-Hut steps/s at N=1M).
+    # Guarded by wall-clock: the 1M compile ranges 90-600+ s depending on
+    # remote-compile load, and blowing the harness timeout would lose the
+    # PRIMARY metric's JSON line too.  Budget overridable via BENCH_BUDGET_S.
+    import os
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    spent = time.perf_counter() - t_start
+    if spent > budget:
+        result["bh_n1m_steps_per_s"] = (
+            f"skipped: {spent:.0f}s spent > {budget:.0f}s budget "
+            "(degraded remote-compile latency)"
+        )
+        print(json.dumps(result))
+        return
     try:
         n_bh = 1 << 20
         pos, vel, mass = self_gravitating_disc(n_bh - 1, seed=0)

@@ -181,9 +181,7 @@ CONFIGS = {
     "quad7_fb1024": dict(eval_mode="pallas", group_size=8192, subgroups=128,
                          chunk_groups=8, start_level=3, quad_leaf=False,
                          accept_margin=0.8, fb_cap=1024),
-    "quad7_fb2048": dict(eval_mode="pallas", group_size=8192, subgroups=128,
-                         chunk_groups=8, start_level=3, quad_leaf=False,
-                         accept_margin=0.8, fb_cap=2048),
+    # (fb_cap=2048 probe dropped: fb1024 already prices the trade at 18%)
     # round-2h: mid-N tree depth — at 131k the L=7 leaf grid is 16x
     # underfilled (0.0625 particles/cell); L=6 shrinks every cell table 8x
     # and shortens the walk by one level, near lists grow 8x occupancy
