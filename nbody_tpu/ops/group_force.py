@@ -92,7 +92,7 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
         out_ref[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
 
 
-def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
+def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
     """Quadrupole slab eval: same tiling/accumulation shape as ``_kernel``,
     16-wide source rows (x, y, z, M, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz, 0...).
 
@@ -133,11 +133,15 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         # absolute floor here (an earlier 1e-4) silently clamped REAL
         # accepted-node forces in small-bounds scenes — the theta test
         # admits nodes at r ~ cell_width/theta, which has no lower bound
-        # across scene scales.  This select chain matches the XLA backend
-        # (_quad_block's ok mask) and the fb path (_fb_eval) — keep all
-        # three in sync.
-        ok = r2 > 0.0
-        inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+        # across scene scales.  ``guard`` is static (softened runs have
+        # r2 >= eps2 > 0 and take the select-free kernel via the wrapper's
+        # lax.cond, same as _kernel); the guarded path matches the XLA
+        # backend (_quad_block's ok mask) and the fb path (_fb_eval) —
+        # keep all three in sync.
+        if guard:
+            ok = r2 > 0.0
+            r2 = jnp.where(ok, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2)
         ir2 = inv_r * inv_r
         ir3 = ir2 * inv_r
         ir5 = ir3 * ir2
@@ -146,8 +150,10 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref):
         uy = qxy * ex + qyy * ey + qyz * ez
         uz = qxz * ex + qyz * ey + qzz * ez
         qe = ex * ux + ey * uy + ez * uz
-        w = jnp.where(ok, m * ir3 + 2.5 * qe * ir7, 0.0)
-        ir5 = jnp.where(ok, ir5, 0.0)
+        w = m * ir3 + 2.5 * qe * ir7
+        if guard:
+            w = jnp.where(ok, w, 0.0)
+            ir5 = jnp.where(ok, ir5, 0.0)
 
         out_ref[:, 0:1] += jnp.sum(w * ex - ir5 * ux, axis=1, keepdims=True)
         out_ref[:, 1:2] += jnp.sum(w * ey - ir5 * uy, axis=1, keepdims=True)
@@ -180,32 +186,43 @@ def quad_force_pallas(tgt8, qslabT, g, g_soft, *, tile: int = 2048,
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
     bt = B // ti
 
-    out = pl.pallas_call(
-        _quad_kernel,
-        grid=(G, bt, A // tile),
-        in_specs=[
-            pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tile), lambda gi, bi, j: (gi, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(G) * int(B) * int(A) * 44,
-            bytes_accessed=int(G) * (int(B) * 64 + int(A) * 64 * int(bt)),
-            transcendentals=int(G) * int(B) * int(A),
-        ),
-        interpret=interpret,
-    )(scal, tgt8.reshape(G * B, 8), qslabT.reshape(G * 16, A))
+    def call(guard):
+        return pl.pallas_call(
+            functools.partial(_quad_kernel, guard=guard),
+            grid=(G, bt, A // tile),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ti, 8),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, tile), lambda gi, bi, j: (gi, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((G * B, 8), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(G) * int(B) * int(A) * 44,
+                bytes_accessed=int(G) * (int(B) * 64 + int(A) * 64 * int(bt)),
+                transcendentals=int(G) * int(B) * int(A),
+            ),
+            interpret=interpret,
+        )
+
+    args = (scal, tgt8.reshape(G * B, 8), qslabT.reshape(G * 16, A))
+    # softened runs (r2 >= eps2 > 0) take the select-free kernel
+    out = jax.lax.cond(
+        scal[0, 0] > 0.0,
+        lambda a: call(False)(*a),
+        lambda a: call(True)(*a),
+        args,
+    )
     return (out[:, :3] * g).reshape(G, B, 3)
 
 

@@ -191,6 +191,14 @@ CONFIGS = {
     "quad8_131k_L6": dict(eval_mode="pallas", n=131072, group_size=4096,
                           subgroups=64, chunk_groups=8, start_level=3,
                           quad_leaf=False, accept_margin=0.8, max_level=6),
+    # round-2i (v8+ kernels): eval_tile granularity — smaller tiles skip
+    # empty near-slab padding at finer grain (t1024 edged t2048 pre-v4)
+    "quad9_base": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                       chunk_groups=8, start_level=3, quad_leaf=False,
+                       accept_margin=0.8),
+    "quad9_t1024": dict(eval_mode="pallas", group_size=8192, subgroups=128,
+                        chunk_groups=8, start_level=3, quad_leaf=False,
+                        accept_margin=0.8, eval_tile=1024),
 }
 
 
