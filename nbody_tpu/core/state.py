@@ -76,6 +76,13 @@ class Bounds:
         """Map positions into [0, 1)^D relative to the box (for Morton codes)."""
         return (pos - self.min) / self.width
 
+    def centered(self) -> "Bounds":
+        """The same box translated to the origin (grid frame).  The BH accel
+        entry points compute in this frame — every f32 accumulation is then
+        bounded by the domain half-width, not |center| (ADVICE r2 #1)."""
+        return Bounds(center=jnp.zeros_like(self.center),
+                      half_width=self.half_width)
+
 
 # ---------------------------------------------------------------------------
 # Physics parameters

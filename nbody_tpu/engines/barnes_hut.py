@@ -108,7 +108,10 @@ def make_bh_lazy_engine(name: str = "bh-lazy", rebuild_frac: float = 0.3,
 
     def init_carry(pos, mass, params):
         c = fit(pos)
-        return build_octree(pos, mass, params.bounds, c.max_level, dim=c.dim,
+        # grid frame: bh_accel_lazy recenters on bounds.center, and the
+        # carried tree must live in the same frame (ops/traversal.py)
+        return build_octree(pos - params.bounds.center, mass,
+                            params.bounds.centered(), c.max_level, dim=c.dim,
                             quad=c.multipole == "quad",
                             quad_leaf=c.quad_leaf)
 

@@ -72,6 +72,11 @@ def _accumulate(s, pos_cols, pos_rows, g):
 def force_dense(pos, mass, params: SimParams):
     n = pos.shape[0]
     ids = jnp.arange(n)
+    # grid frame: the _accumulate contraction computes S@P - p_i*S@1, which
+    # cancels ~|p|/separation digits — for a scene at |center| ~ 2^13 that
+    # is ~4 f32 digits of the force (measured 9e-3 median relative error).
+    # Acceleration is translation-invariant; recenter on the bounds.
+    pos = pos - params.bounds.center
     s = _pairwise_s(pos, pos, mass, params.g_soft, ids, ids)
     return _accumulate(s, pos, pos, params.g)
 
@@ -83,6 +88,7 @@ def force_tiled(pos, mass, params: SimParams, tile: int = 1024):
         # capacity is always padded to a multiple of 128 (state.create);
         # fall back to a tile that divides it.
         tile = 128
+    pos = pos - params.bounds.center  # grid frame (see force_dense)
     ids = jnp.arange(n)
     pos_t = pos.reshape(n // tile, tile, -1)
     ids_t = ids.reshape(n // tile, tile)

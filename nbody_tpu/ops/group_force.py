@@ -39,6 +39,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pair_tile_body(scal_ref, tgt_ref, src_ref, out_ref, guard):
+    # scalars ride in a (1, 128) VMEM row, not SMEM — gridded kernels
+    # with SMEM inputs hang under the axon remote compile
+    eps2 = scal_ref[0, 0]
+
+    tx = tgt_ref[:, 0:1]  # (B, 1) target columns
+    ty = tgt_ref[:, 1:2]
+    tz = tgt_ref[:, 2:3]
+    sx = src_ref[0:1, :]  # (1, TILE) source rows (slab arrives transposed)
+    sy = src_ref[1:2, :]
+    sz = src_ref[2:3, :]
+    sm = src_ref[3:4, :]
+
+    dx = sx - tx  # (B, TILE) clean VPU broadcasts
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    # No self-pair index test: a self (or exactly coincident) pair has
+    # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
+    # finite — only the exact r2 == 0 case needs a guard (replacing the
+    # old (si == ti) | (r2 <= 0) select chain, ~20% of the kernel's VPU
+    # ops).  An absolute floor (max(r2, 1e-12)) is NOT scale-safe:
+    # tiny-bounds scenes have legitimate pairs below any fixed
+    # constant.  With softening, r2 >= eps2 > 0 makes even that guard
+    # dead weight (~3% of the step at 1M), so ``guard`` is a STATIC
+    # kernel parameter and the wrapper lax.cond's on the softening
+    # scalar (an in-kernel pl.when branch pair blew the 16 MB scoped
+    # VMEM: both branch bodies' temporaries are allocated).  Semantics
+    # match the reference's r^2 guard (src/llm/barnes_hut.rs:819) at
+    # every scene scale.
+    if guard:
+        r2 = jnp.where(r2 > 0.0, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2)
+    s = inv_r * inv_r * inv_r * sm
+
+    out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+    out_ref[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+    out_ref[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+
+
 def _kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
     j = pl.program_id(2)
 
@@ -53,43 +93,23 @@ def _kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
     # its own Mosaic-legal block shape for a 4-byte read.
     @pl.when(jnp.any(src_ref[3:4, :] != 0.0))
     def _():
-        # scalars ride in a (1, 128) VMEM row, not SMEM — gridded kernels
-        # with SMEM inputs hang under the axon remote compile
-        eps2 = scal_ref[0, 0]
+        _pair_tile_body(scal_ref, tgt_ref, src_ref, out_ref, guard)
 
-        tx = tgt_ref[:, 0:1]  # (B, 1) target columns
-        ty = tgt_ref[:, 1:2]
-        tz = tgt_ref[:, 2:3]
-        sx = src_ref[0:1, :]  # (1, TILE) source rows (slab arrives transposed)
-        sy = src_ref[1:2, :]
-        sz = src_ref[2:3, :]
-        sm = src_ref[3:4, :]
 
-        dx = sx - tx  # (B, TILE) clean VPU broadcasts
-        dy = sy - ty
-        dz = sz - tz
-        r2 = dx * dx + dy * dy + dz * dz + eps2
-        # No self-pair index test: a self (or exactly coincident) pair has
-        # d = 0, so its contribution s*d is exactly +0.0 as long as s stays
-        # finite — only the exact r2 == 0 case needs a guard (replacing the
-        # old (si == ti) | (r2 <= 0) select chain, ~20% of the kernel's VPU
-        # ops).  An absolute floor (max(r2, 1e-12)) is NOT scale-safe:
-        # tiny-bounds scenes have legitimate pairs below any fixed
-        # constant.  With softening, r2 >= eps2 > 0 makes even that guard
-        # dead weight (~3% of the step at 1M), so ``guard`` is a STATIC
-        # kernel parameter and the wrapper lax.cond's on the softening
-        # scalar (an in-kernel pl.when branch pair blew the 16 MB scoped
-        # VMEM: both branch bodies' temporaries are allocated).  Semantics
-        # match the reference's r^2 guard (src/llm/barnes_hut.rs:819) at
-        # every scene scale.
-        if guard:
-            r2 = jnp.where(r2 > 0.0, r2, 1.0)
-        inv_r = jax.lax.rsqrt(r2)
-        s = inv_r * inv_r * inv_r * sm
+def _kernel_masked(scal_ref, mask_ref, tgt_ref, src_ref, out_ref, *, guard):
+    """Block-dual variant: a (1, 128) mask row per (target-tile, source-tile)
+    pair; nonzero means this tile pair was ACCEPTED by the dual acceptance
+    test (ops/traversal.py _dual_prepare) and is evaluated as the source
+    tile's quadrupole instead — skip the whole B x TILE pair eval here."""
+    j = pl.program_id(2)
 
-        out_ref[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
-        out_ref[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
-        out_ref[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when((mask_ref[0, 0] == 0.0) & jnp.any(src_ref[3:4, :] != 0.0))
+    def _():
+        _pair_tile_body(scal_ref, tgt_ref, src_ref, out_ref, guard)
 
 
 def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
@@ -160,6 +180,19 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
         out_ref[:, 2:3] += jnp.sum(w * ez - ir5 * uz, axis=1, keepdims=True)
 
 
+def fit_target_tile(B: int, tile: int, target_tile: int, cap: int) -> int:
+    """The kernel's target-tile rows TI: divide B, and keep the (TI, tile)
+    f32 temporaries inside the scoped-VMEM budget (``cap`` = max TI*tile).
+    Exposed so callers building per-(target-tile, source-tile) masks
+    (ops/traversal.py block-dual) compute the exact TI the kernel will use."""
+    ti = target_tile
+    while ti > 8 and B % ti:
+        ti //= 2
+    while ti > 8 and ti * tile > cap:
+        ti //= 2
+    return min(ti, B)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "target_tile",
                                               "interpret"))
 def quad_force_pallas(tgt8, qslabT, g, g_soft, *, tile: int = 2048,
@@ -172,15 +205,10 @@ def quad_force_pallas(tgt8, qslabT, g, g_soft, *, tile: int = 2048,
     G, B, _ = tgt8.shape
     A = qslabT.shape[2]
     assert A % tile == 0, (tgt8.shape, qslabT.shape, tile)
-    ti = target_tile
-    while ti > 8 and B % ti:
-        ti //= 2
     # the quad kernel keeps ~6 (ti, tile) f32 temporaries live (e, u, qe, w)
     # vs the pair kernel's ~4 — 512 x 2048 blew the 16 MB scoped-VMEM budget
     # at 25.4 MB on v5e, so cap the block footprint one notch lower
-    while ti > 8 and ti * tile > (1 << 18):
-        ti //= 2
-    ti = min(ti, B)
+    ti = fit_target_tile(B, tile, target_tile, 1 << 18)
     assert B % ti == 0, (B, ti)
     dtype = tgt8.dtype
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
@@ -229,7 +257,8 @@ def quad_force_pallas(tgt8, qslabT, g, g_soft, *, tile: int = 2048,
 @functools.partial(jax.jit, static_argnames=("tile", "target_tile",
                                               "interpret"))
 def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
-                       target_tile: int = 512, interpret: bool = False):
+                       target_tile: int = 512, interpret: bool = False,
+                       mask=None):
     """tgt8 [G, B, 8] target rows, slabT [G, 8, S] transposed source slab
     -> acc [G, B, 3].
 
@@ -240,37 +269,57 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
     each elementwise temporary in the kernel is (TI, tile) f32, and Mosaic
     keeps several live at once, so TI x tile must stay a few MB to fit the
     ~16 MB scoped-VMEM budget (B=4096 blocks OOM'd at compile: 3 x 33 MB
-    for dx/dy/dz alone)."""
+    for dx/dy/dz alone).
+
+    ``mask`` (block-dual, ops/traversal.py): [G, B//TI, S//tile] — nonzero
+    skips that whole (target-tile, source-tile) pair (it is evaluated as
+    the source tile's quadrupole elsewhere).  Rides as (1, 128) VMEM rows
+    selected by the grid index map (a scalar SMEM operand would hang under
+    the axon remote compile)."""
     G, B, _ = tgt8.shape
     S = slabT.shape[2]
     assert S % tile == 0, (tgt8.shape, slabT.shape, tile)
-    ti = target_tile
-    while ti > 8 and B % ti:
-        ti //= 2
     # cap ti*tile at the known-good 512 x 2048 footprint (each (ti, tile)
     # f32 temporary is ti*tile*4 bytes; ~4 live at once must fit the
     # ~16 MB scoped-VMEM budget)
-    while ti > 8 and ti * tile > (1 << 20):
-        ti //= 2
-    ti = min(ti, B)
+    ti = fit_target_tile(B, tile, target_tile, 1 << 20)
     assert B % ti == 0, (B, ti)
     dtype = tgt8.dtype
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
     bt = B // ti
+    st = S // tile
+    if mask is not None:
+        assert mask.shape == (G, bt, st), (mask.shape, (G, bt, st))
+        # one (1, 128) lane-row per (target-tile, source-tile) pair: value
+        # replicated across the lanes so the index map can hand the kernel
+        # a Mosaic-legal block
+        maskx = jnp.repeat(
+            mask.reshape(G * bt, st).astype(dtype), 128, axis=1
+        )
 
     def call(guard):
+        kern = _kernel if mask is None else _kernel_masked
+        specs = [
+            pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if mask is not None:
+            specs.append(
+                pl.BlockSpec((1, 128),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, j),
+                             memory_space=pltpu.VMEM)
+            )
+        specs += [
+            pl.BlockSpec((ti, 8),
+                         lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda gi, bi, j: (gi, j),
+                         memory_space=pltpu.VMEM),
+        ]
         return pl.pallas_call(
-            functools.partial(_kernel, guard=guard),
-            grid=(G, bt, S // tile),
-            in_specs=[
-                pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ti, 8),
-                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, tile), lambda gi, bi, j: (gi, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            functools.partial(kern, guard=guard),
+            grid=(G, bt, st),
+            in_specs=specs,
             out_specs=pl.BlockSpec(
                 (ti, 8), lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
                 memory_space=pltpu.VMEM,
@@ -287,7 +336,10 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
             interpret=interpret,
         )
 
-    args = (scal, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
+    if mask is None:
+        args = (scal, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
+    else:
+        args = (scal, maskx, tgt8.reshape(G * B, 8), slabT.reshape(G * 8, S))
     # runtime branch on the softening scalar (see the in-kernel note):
     # softened runs take the guard-free kernel
     out = jax.lax.cond(

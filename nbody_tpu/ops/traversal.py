@@ -128,6 +128,30 @@ class BHConfig:
     # opens) while cutting the quad p99 tail 1.9x (5.6e-2 -> 3.0e-2,
     # accuracy_1m.jsonl quad2_auto vs quad2_m08).  Set 1.0 for the
     # literal reference acceptance rule.
+    block_dual: bool = False  # dual-tree far field on the SOURCE SLAB
+    # (round 3): the assembled window/near slab is mostly exact pair work
+    # that Barnes-Hut would approximate — at the 1M defaults each target
+    # pays the full W = 12288-row window densely (~117 ms/step, the VPU ALU
+    # floor).  With block_dual, every (target-tile, source-tile) pair of
+    # the eval grid gets its own acceptance test: source-tile bbox width²
+    # < dual_margin * theta² * dist²(tile boxes).  Accepted pairs skip the
+    # pair kernel (per-tile-pair mask rows, ops/group_force.py
+    # _kernel_masked) and are evaluated as the source tile's CENTRAL
+    # QUADRUPOLE (computed two-pass from the masked slab rows themselves,
+    # so the multipole represents exactly the rows the pair pass was
+    # responsible for — partially-covered window tiles included, no
+    # bookkeeping).  Box-box distance (not COM distance) makes
+    # self-overlapping acceptance impossible at any theta: a tile
+    # containing one of the targets overlaps the target tile's box, so
+    # d = 0 and the test fails.  Active in traverse_tree (single-chip and
+    # the sharded bh-replicated path); the domain-decomposed path
+    # (parallel/domain.py) evaluates its slab exactly and ignores this
+    # flag for now.
+    dual_margin: float = 0.8  # multiplies theta² in the block-dual
+    # acceptance (same convention as accept_margin; < 1 = stricter).
+    # Separate knob because dual approximates work that was previously
+    # EXACT — tightening it buys back accuracy without touching the
+    # tree walk's acceptance.
     frontier_schedule: tuple = None  # per-level frontier slot counts for
     # levels start_level+1..max_level; None = auto (grows toward
     # frontier_cap at the leaf).  Opening is heavily bottom-weighted
@@ -137,10 +161,12 @@ class BHConfig:
 
     def __post_init__(self):
         # fb rows can be leaf cells; their quadrupole gather needs the leaf
-        # level present in the table
-        assert not (self.fb_quad and not self.quad_leaf), (
-            "fb_quad=True requires quad_leaf=True"
-        )
+        # level present in the table.  A ValueError, not an assert: under
+        # ``python -O`` an assert is stripped and the fb gather would index
+        # past the quad table — XLA clamps the OOB gather, silently wrong
+        # forces (ADVICE r2 #2).
+        if self.fb_quad and not self.quad_leaf:
+            raise ValueError("fb_quad=True requires quad_leaf=True")
 
     def schedule(self) -> tuple:
         if self.frontier_schedule is not None:
@@ -182,12 +208,17 @@ class BHConfig:
             base = dict(group_size=4096, subgroups=64)
         else:
             base = dict(group_size=8192, subgroups=128)
-        n_groups = max(1, -(-n // base["group_size"]))
-        for cg in (8, 4, 2, 1):
-            if n_groups % cg == 0:
-                base["chunk_groups"] = cg
-                break
+        # overrides apply BEFORE chunk_groups is fitted: a caller overriding
+        # group_size must get a chunk count fitted to the FINAL group size,
+        # not the preset's (ADVICE r2 #3 — the old order could pad a whole
+        # extra chunk of dead work or trip the sharded chunk-split assert)
         base.update(overrides)
+        if "chunk_groups" not in overrides:
+            n_groups = max(1, -(-n // base["group_size"]))
+            for cg in (8, 4, 2, 1):
+                if n_groups % cg == 0:
+                    base["chunk_groups"] = cg
+                    break
         return BHConfig(**base)
 
 
@@ -301,7 +332,10 @@ def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
 
     if all_quad is not None:
         # self-excluded quadrupole: raw moments minus the target's own
-        # m_i p_i p_iᵀ, centralized about the EXCLUDED com'
+        # m_i p p ᵀ, centralized about the EXCLUDED com'.  All positions
+        # here are grid-frame relative (the accel entry points recenter
+        # on bounds.center — ADVICE r2 #1), so the subtractions stay
+        # well-conditioned regardless of where the scene sits.
         lvl = fb[:, 6].astype(jnp.int32)
         cid = fb[:, 7].astype(jnp.int32)
         # empty fb slots decode to node 0 (root) — masked by ok (M = 0)
@@ -633,10 +667,12 @@ def _quad_slab(mono, all_quad, goffs, excl_level: int = -1):
     mono [G, A, 8] rows: (com_x, com_y, com_z, M, -1, level, cell_id, 0);
     level == -1 marks fb-spill rows whose quadrupole must be ZERO (the cell
     may contain the target — plain-monopole degradation, counted in stats).
-    Raw origin-centered second moments from ``all_quad`` are centralized
-    about the node COM here (P = S2 - M c cᵀ; traceless Q = 3P - tr(P) I) —
-    only for the few thousand rows per group the walk actually accepted,
-    never for the full tree.  Returns [G, A, 16] rows:
+    Raw grid-frame second moments from ``all_quad`` are centralized about
+    the node COM here (P = S2 - M c cᵀ; traceless Q = 3P - tr(P) I) — only
+    for the few thousand rows per group the walk actually accepted, never
+    for the full tree.  The accel entry points recenter all positions on
+    bounds.center, so the subtraction is well-conditioned for scenes far
+    from the origin (ADVICE r2 #1).  Returns [G, A, 16] rows:
     (x, y, z, M, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz, 0...)."""
     dtype = mono.dtype
     lvl = mono[..., 5].astype(jnp.int32)
@@ -750,22 +786,122 @@ def _quad_eval(qslab, tgt8, g, g_soft, cfg: BHConfig):
     ).reshape(G, B, 3)
 
 
-def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig):
+def _fit_eval_tile(tile: int, S: int) -> int:
+    """The source-tile width _slab_eval will use for a slab of S rows."""
+    while tile > 128 and tile > S:
+        tile //= 2
+    return tile
+
+
+def _dual_prepare(slab, tgt8, theta2, cfg: BHConfig, tile: int):
+    """Block-dual acceptance over the eval grid (see BHConfig.block_dual).
+
+    slab [G, S, 8] (masses already masked; S % tile == 0), tgt8 [G, B, 8] ->
+    (mask [G, bt, st] bool, qrows [G*bt, 128, 16] per-target-tile quadrupole
+    source rows, n_accepted scalar).
+
+    Source-tile stats come from the MASKED slab rows, so each tile's
+    multipole represents exactly the rows the pair pass would have summed —
+    window rows excluded by the coverage mask, near-cap padding, and eval
+    padding all carry zero mass and drop out.  Central moments are computed
+    two-pass about the tile COM (no large-coordinate cancellation; positions
+    are grid-frame already).  Acceptance uses BOX-BOX distance: a source
+    tile overlapping the target tile's bbox gets d = 0 and is never
+    accepted, which rules out self-interaction at any theta."""
+    from nbody_tpu.ops.group_force import fit_target_tile
+
+    G, S, _ = slab.shape
+    B = tgt8.shape[1]
+    ti = fit_target_tile(B, tile, 512, 1 << 20)
+    bt = B // ti
+    st = S // tile
+    assert st <= 128, (S, tile)  # qrows pad target: one 128-wide quad tile
+    dtype = slab.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    # ---- source tile stats ----
+    rows = slab.reshape(G, st, tile, 8)
+    sm = rows[..., 3]  # [G, st, T]
+    sv = sm > 0
+    sp = rows[..., :3]
+    M = jnp.sum(sm, axis=-1)  # [G, st]
+    S1 = jnp.sum(sm[..., None] * sp, axis=-2)  # [G, st, 3]
+    com = S1 / jnp.maximum(M, tiny)[..., None]
+    slo = jnp.min(jnp.where(sv[..., None], sp, big), axis=-2)
+    shi = jnp.max(jnp.where(sv[..., None], sp, -big), axis=-2)
+    eligible = M > 0
+    w = jnp.where(eligible[..., None], shi - slo, 0.0)
+    wmax = jnp.max(w, axis=-1)
+    w2 = wmax * wmax  # [G, st] (max side², the cell-width convention)
+    d = sp - com[:, :, None, :]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    pxx = jnp.sum(sm * dx * dx, axis=-1)
+    pyy = jnp.sum(sm * dy * dy, axis=-1)
+    pzz = jnp.sum(sm * dz * dz, axis=-1)
+    pxy = jnp.sum(sm * dx * dy, axis=-1)
+    pxz = jnp.sum(sm * dx * dz, axis=-1)
+    pyz = jnp.sum(sm * dy * dz, axis=-1)
+    tr = pxx + pyy + pzz
+    z = jnp.zeros_like(M)
+    qrow16 = jnp.stack(
+        [com[..., 0], com[..., 1], com[..., 2], M,
+         3 * pxx - tr, 3 * pyy - tr, 3 * pzz - tr,
+         3 * pxy, 3 * pxz, 3 * pyz, z, z, z, z, z, z],
+        axis=-1,
+    )  # [G, st, 16]
+
+    # ---- target tile boxes (alive members only) ----
+    t = tgt8.reshape(G, bt, ti, 8)
+    tv = t[..., 3] > 0
+    tp = t[..., :3]
+    tlo = jnp.min(jnp.where(tv[..., None], tp, big), axis=-2)  # [G, bt, 3]
+    thi = jnp.max(jnp.where(tv[..., None], tp, -big), axis=-2)
+    any_t = jnp.any(tv, axis=-1)  # [G, bt]
+
+    # ---- box-box acceptance ----
+    gap = jnp.maximum(
+        jnp.maximum(slo[:, None, :, :] - thi[:, :, None, :],
+                    tlo[:, :, None, :] - shi[:, None, :, :]),
+        0.0,
+    )  # [G, bt, st, 3]
+    db2 = jnp.sum(gap * gap, axis=-1)
+    margin = jnp.asarray(cfg.dual_margin, dtype)
+    accept = (
+        eligible[:, None, :]
+        & any_t[..., None]
+        & (w2[:, None, :] < margin * theta2 * db2)
+        & (db2 > 0)
+    )  # [G, bt, st]
+
+    q = jnp.where(accept[..., None], qrow16[:, None, :, :], 0.0)
+    if st < 128:
+        q = jnp.concatenate(
+            [q, jnp.zeros((G, bt, 128 - st, 16), dtype)], axis=2
+        )
+    return accept, q.reshape(G * bt, 128, 16), jnp.sum(accept)
+
+
+def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
     """One fused interaction pass: every group's targets vs its assembled
     source slab.  Backend by ``cfg.eval_mode``: the Pallas group-force
     kernel on TPU f32 (ops/group_force.py), an XLA contraction (chunked
     ``lax.map`` over groups to bound the [B, S] intermediates) elsewhere.
 
     slab [G, S, 8], tgt8 [G, B, 8] (row layout: x, y, z, m, idx, 0, 0, 0),
-    center [G, 3] -> acc [G, B, 3]."""
+    center [G, 3] -> acc [G, B, 3].
+
+    ``mask`` (block-dual): [G, bt, S//tile] bool — accepted (target-tile,
+    source-tile) pairs are SKIPPED here (the caller evaluates them as the
+    source tile's quadrupole).  The caller must have pre-padded the slab to
+    the eval tile (mask tile indices must match)."""
     G, B, _ = tgt8.shape
     dtype = tgt8.dtype
     S = slab.shape[1]
-    tile = cfg.eval_tile
-    while tile > 128 and tile > S:
-        tile //= 2
+    tile = _fit_eval_tile(cfg.eval_tile, S)
     s_pad = (-S) % tile
     if s_pad:
+        assert mask is None, "block-dual callers must pre-pad the slab"
         slab = jnp.concatenate([slab, jnp.zeros((G, s_pad, 8), dtype)],
                                axis=1)
         S += s_pad
@@ -774,28 +910,52 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig):
         from nbody_tpu.ops.group_force import group_force_pallas
 
         return group_force_pallas(
-            tgt8, jnp.swapaxes(slab, 1, 2), g, g_soft, tile=tile
+            tgt8, jnp.swapaxes(slab, 1, 2), g, g_soft, tile=tile, mask=mask
         )
 
     CG = cfg.chunk_groups
     n_chunks = G // CG
 
     def eval_body(args):
-        sl_c, t8_c, ct_c = args
+        sl_c, t8_c, ct_c, mk_c = args
 
-        def one(sl, t8, ct):
-            return _pair_block(
-                t8[:, :3], t8[:, 4].astype(jnp.int32), sl[:, :3], sl[:, 3],
-                sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
-                g, g_soft, ct if cfg.mxu_blocks else None,
+        def one(sl, t8, ct, mk):
+            if mk is None:
+                return _pair_block(
+                    t8[:, :3], t8[:, 4].astype(jnp.int32), sl[:, :3],
+                    sl[:, 3], sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
+                    g, g_soft, ct if cfg.mxu_blocks else None,
+                )
+            # masked tile pairs: zero the source masses per TARGET TILE
+            # (CPU/f64 reference path for the masked Pallas kernel)
+            bt = mk.shape[0]
+            ti = B // bt
+            keep = jnp.repeat(~mk, tile, axis=1).astype(dtype)  # [bt, S]
+
+            def tile_eval(t8_t, keep_t):
+                m_t = sl[:, 3] * keep_t
+                return _pair_block(
+                    t8_t[:, :3], t8_t[:, 4].astype(jnp.int32), sl[:, :3],
+                    m_t, sl[:, 4].astype(jnp.int32), m_t != 0.0,
+                    g, g_soft, ct if cfg.mxu_blocks else None,
+                )
+
+            return jax.vmap(tile_eval)(
+                t8.reshape(bt, ti, 8), keep
+            ).reshape(B, 3)
+
+        if mk_c is None:
+            return jax.vmap(lambda sl, t8, ct: one(sl, t8, ct, None))(
+                sl_c, t8_c, ct_c
             )
+        return jax.vmap(one)(sl_c, t8_c, ct_c, mk_c)
 
-        return jax.vmap(one)(sl_c, t8_c, ct_c)
-
+    mk_all = (None if mask is None
+              else mask.reshape(n_chunks, CG, *mask.shape[1:]))
     return jax.lax.map(
         eval_body,
         (slab.reshape(n_chunks, CG, S, 8), tgt8.reshape(n_chunks, CG, B, 8),
-         center.reshape(n_chunks, CG, 3)),
+         center.reshape(n_chunks, CG, 3), mk_all),
     ).reshape(G, B, 3)
 
 
@@ -899,17 +1059,40 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         # particle sources (exact) through the pair kernel; accepted nodes
         # through the separate quadrupole kernel (16-wide rows)
         slab = jnp.concatenate([wrows, nrows], axis=1)
+    else:
+        slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
+
+    dmask = None
+    n_dual = jnp.int32(0)
+    if cfg.block_dual:
+        # dual-tree far field over the eval grid: pre-pad the slab to the
+        # eval tile so mask tile indices line up, compute per-(target-tile,
+        # source-tile) acceptance, and evaluate accepted pairs as the
+        # source tile's central quadrupole instead of B x TILE pair work
+        tile = _fit_eval_tile(cfg.eval_tile, slab.shape[1])
+        s_pad = (-slab.shape[1]) % tile
+        if s_pad:
+            slab = jnp.concatenate(
+                [slab, jnp.zeros((G_my, s_pad, 8), dtype)], axis=1
+            )
+        dmask, dqrows, n_dual = _dual_prepare(slab, tgt8, theta2, cfg, tile)
+
+    acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg, mask=dmask)
+
+    if cfg.block_dual:
+        bt = dmask.shape[1]
+        acc_main = acc_main + _quad_eval(
+            dqrows, tgt8.reshape(G_my * bt, B // bt, 8), g, g_soft, cfg
+        ).reshape(G_my, B, 3)
+
+    if cfg.multipole == "quad":
         goffs = jnp.array(
             [level_offset(lv, 1 << cfg.dim) for lv in range(cfg.max_level + 1)],
             jnp.int32,
         )
         qslab = _quad_slab(mono, tree.all_quad, goffs,
                            -1 if cfg.quad_leaf else cfg.max_level)
-        acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
         acc_main = acc_main + _quad_eval(qslab, tgt8, g, g_soft, cfg)
-    else:
-        slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
-        acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg)
 
     acc_c = acc_main + acc_fb
 
@@ -948,6 +1131,9 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         # regresses on YOUR scene, not to zero the counter.
         "fb_spill": jnp.sum(fbspill),
         "near_totals": ntot.reshape(-1),  # residual near size per group
+        # block-dual: (target-tile, source-tile) pairs evaluated as a tile
+        # quadrupole instead of dense pair work (0 when block_dual=False)
+        "dual_tiles": n_dual,
     }
     return acc, stats
 
@@ -957,11 +1143,20 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
     """Full Barnes-Hut acceleration: build + traverse + scatter back.
 
     pos [N,3], mass [N] (zero for dead) -> (acc [N,3], stats dict).
-    N must be a multiple of 128 (guaranteed by ParticleState.create)."""
-    tree = build_octree(pos, mass, bounds, cfg.max_level, dim=cfg.dim,
+    N must be a multiple of 128 (guaranteed by ParticleState.create).
+
+    The whole pipeline runs in the GRID FRAME (pos - bounds.center):
+    acceleration is translation-invariant, and recentring bounds every f32
+    accumulation (leaf mass-position sums, level pyramids, quadrupole
+    centralizations, norm-trick r²) by the domain half-width instead of
+    |center| — a scene at |center| ~ 2^13 otherwise loses ~1e-2 relative
+    force accuracy to COM rounding alone (ADVICE r2 #1, measured)."""
+    pos_c = pos - bounds.center
+    b0 = bounds.centered()
+    tree = build_octree(pos_c, mass, b0, cfg.max_level, dim=cfg.dim,
                         quad=cfg.multipole == "quad",
                         quad_leaf=cfg.quad_leaf)
-    return traverse_tree(tree, bounds, theta2, g, g_soft, cfg, pos.shape[0])
+    return traverse_tree(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
 
 
 @partial(jax.jit, static_argnames=("cfg", "rebuild_frac", "move_cells"))
@@ -984,6 +1179,10 @@ def bh_accel_lazy(
     from nbody_tpu.ops import morton
     from nbody_tpu.ops.tree import grid_bounds, refresh_octree
 
+    # grid frame, like bh_accel — the carried tree stores grid-frame pos_s
+    # (engines/barnes_hut.py builds the initial carry the same way)
+    pos = pos - bounds.center
+    bounds = bounds.centered()
     L = cfg.max_level
     gb = grid_bounds(bounds, L)
     pos_s = pos[tree.order][:, :cfg.dim]

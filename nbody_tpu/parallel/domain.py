@@ -241,6 +241,10 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     inside shard_map).  Returns (acc [n_loc, 3] in ORIGINAL particle order
     for this shard, stats dict) — no array in the pipeline exceeds
     O(n_loc + halo) except the O(8^L) pyramid."""
+    # grid frame, like the single-chip bh_accel: every f32 accumulation is
+    # bounded by the domain half-width, not |center| (ADVICE r2 #1)
+    pos_loc = pos_loc - bounds.center
+    bounds = bounds.centered()
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
     B = cfg.group_size
@@ -262,10 +266,11 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     # cfg.window_pad (not the clamped width), so window_pad > n_loc would
     # silently shift the slab region away from the covered-cell
     # bookkeeping (wrong forces, zero fallback stats) — fail loudly.
-    assert cfg.window_pad <= n_loc, (
-        f"window_pad ({cfg.window_pad}) exceeds the per-chip shard "
-        f"({n_loc}); lower window_pad/group_size or use fewer devices"
-    )
+    if cfg.window_pad > n_loc:  # user-reachable config: not an assert
+        raise ValueError(
+            f"window_pad ({cfg.window_pad}) exceeds the per-chip shard "
+            f"({n_loc}); lower window_pad/group_size or use fewer devices"
+        )
     window = min(cfg.window, n_loc)
     halo = window
 

@@ -127,7 +127,12 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             from nbody_tpu.ops.tree import build_octree_sharded
 
             cfg = bh_config or BHConfig()
-            pos_all = jax.lax.all_gather(pos, axis, tiled=True)
+            # grid frame (see ops/traversal.py bh_accel): recenter before
+            # the gather so the build's f32 sums stay well-conditioned for
+            # scenes far from the origin (ADVICE r2 #1)
+            b0 = params.bounds.centered()
+            pos_c = pos - params.bounds.center
+            pos_all = jax.lax.all_gather(pos_c, axis, tiled=True)
             mass_all = jax.lax.all_gather(mass_eff, axis, tiled=True)
             n_tot = pos_all.shape[0]
             # whole chunks are sliced per device: the chunk count must
@@ -141,14 +146,14 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
             # distributed build: per-chip Morton encode + sorted gather +
             # leaf segment-sum, merged with psum/all_gather (tree.py)
             tree = build_octree_sharded(
-                pos, mass_eff, pos_all, mass_all, params.bounds,
+                pos_c, mass_eff, pos_all, mass_all, b0,
                 cfg.max_level, axis, dim=cfg.dim,
                 quad=cfg.multipole == "quad", quad_leaf=cfg.quad_leaf,
             )
             n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
             first = (my * (n_chunks // n_dev)).astype(jnp.int32)
             acc_slice, _stats = traverse_tree(
-                tree, params.bounds, params.theta2, params.g, params.g_soft,
+                tree, b0, params.theta2, params.g, params.g_soft,
                 cfg, n_tot, chunk_range=(first,), n_shards=n_dev,
             )
             # assemble: gather slices (sorted order), un-permute by sorting

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Round-3 block-dual far-field sweep (TPU): fused engine-path steps/s.
+
+Probes BHConfig.block_dual (per-(target-tile, source-tile) acceptance over
+the eval grid, masked pair kernel + tile quadrupoles — ops/traversal.py
+_dual_prepare) against the v8 round-2 baseline at the benchmark scene.
+Appends JSON lines to results/dual_r3.jsonl.
+
+Usage: bench_dual_r3.py [name substrings...] [--stats]
+  --stats additionally runs one bh_accel per selected case to record
+  dual_tiles / fallback counters (extra compile per config).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from nbody_tpu.core.state import ParticleState, SimParams
+from nbody_tpu.core.stepper import make_run
+from nbody_tpu.engines import get_engine
+from nbody_tpu.scenes import self_gravitating_disc
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results",
+                   "dual_r3.jsonl")
+STEPS = 25
+
+CASES = [
+    # (name, n, engine_options) — quad defaults unless overridden
+    ("quad_1m_base", 1 << 20, None),  # fresh baseline, same tunnel session
+    ("quad_1m_dual", 1 << 20, dict(block_dual=True)),
+    ("quad_1m_dual_et1024", 1 << 20, dict(block_dual=True, eval_tile=1024)),
+    ("quad_1m_dual_m05", 1 << 20, dict(block_dual=True, dual_margin=0.5)),
+    ("quad_1m_dual_m12", 1 << 20, dict(block_dual=True, dual_margin=1.2)),
+    ("mono_1m_dual", 1 << 20, dict(multipole="mono", block_dual=True)),
+    ("quad_131k_base", 1 << 17, None),
+    ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
+    ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
+    ("quad_2m_dual", 1 << 21, dict(block_dual=True)),
+    ("quad_4m_dual", 1 << 22, dict(block_dual=True)),
+]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    want_stats = "--stats" in sys.argv
+
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    states = {}
+
+    for name, n, opts in CASES:
+        if args and not any(s in name for s in args):
+            continue
+        if name in done:
+            continue
+        if n not in states:
+            pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+            states[n] = ParticleState.create(pos, vel, mass, capacity=n,
+                                             dtype=jnp.float32)
+        state = states[n]
+        engine = get_engine("bh", **(opts or {}))
+        run = make_run(engine.force)
+        tc0 = time.perf_counter()
+        out = run(state, params, STEPS)
+        float(out.time)  # relay-safe sync (CLAUDE.md)
+        compile_s = time.perf_counter() - tc0
+        t0 = time.perf_counter()
+        out = run(out, params, STEPS)
+        float(out.time)
+        dt_s = time.perf_counter() - t0
+        rec = {
+            "name": name,
+            "n": n,
+            "steps_per_s": round(STEPS / dt_s, 3),
+            "ms_per_step": round(dt_s / STEPS * 1e3, 1),
+            "compile_s": round(compile_s, 1),
+            "ts": time.time(),
+        }
+        if want_stats:
+            from nbody_tpu.ops.traversal import BHConfig, bh_accel
+
+            cfg = BHConfig.auto_for(n, **(opts or {}))
+            m = state.effective_mass()
+            _, st = bh_accel(state.pos, m, params.bounds, params.theta2,
+                             params.g, params.g_soft, cfg)
+            rec["dual_tiles"] = int(st["dual_tiles"])
+            rec["near_fallback"] = int(st["near_fallback"])
+            rec["fb_spill"] = int(st["fb_spill"])
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+
+
+if __name__ == "__main__":
+    main()

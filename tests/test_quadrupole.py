@@ -189,6 +189,42 @@ def test_quad_fallback_self_excluded_under_overflow(disc_8k):
     assert np.percentile(err_q, 99) < np.percentile(err_m, 99)
 
 
+def test_bh_quad_translated_scene(disc_8k):
+    """Quad accuracy must survive a scene whose bounds sit FAR from the
+    coordinate origin (|center| >> cell width).  Raw second moments are
+    accumulated about the grid center (LinearOctree.quad_center), so the
+    centralization P = S2 - M c cᵀ stays well-conditioned; accumulating
+    about the origin cancels catastrophically here — relative error on P
+    ~ (|c|/w)² 2^-24 ≈ 4e5 at this offset (ADVICE r2 #1)."""
+    state, params, m, ref = disc_8k
+    shift = np.array([4096.0, -8192.0, 2048.0], np.float32)
+    pos_t = state.pos + jnp.asarray(shift)
+    params_t = params.replace(bounds_center=tuple(shift))
+    cfg = BHConfig.auto_for(8192, multipole="quad")
+    acc_t, _ = bh_accel(pos_t, m, params_t.bounds, params_t.theta2,
+                        params_t.g, params_t.g_soft, cfg)
+    # dense reference from the SAME quantized translated positions — f32
+    # coordinate rounding at |c| ~ 2^13 affects both sides identically, so
+    # the comparison isolates the BH approximation error
+    ref_t = np.asarray(force_dense(pos_t, m, params_t))
+    err0, _ = _bh_errors(state, params, m, ref, cfg)
+    a = np.asarray(acc_t)
+    alive = np.asarray(m) > 0
+    rn = np.linalg.norm(ref_t, axis=1)
+    err_t = np.linalg.norm(a - ref_t, axis=1)[alive] / np.maximum(
+        rn[alive], 1e-30
+    )
+    assert np.all(np.isfinite(err_t))
+    # must NOT cost the quadrupole win (origin-accumulated moments give a
+    # relative error on P of O((|c|/w)^2 2^-24) ~ 1e2 here — garbage Q)
+    assert np.median(err_t) < 3.0 * max(np.median(err0), 1e-6), (
+        np.median(err0), np.median(err_t)
+    )
+    assert np.percentile(err_t, 99) < 3.0 * max(
+        np.percentile(err0, 99), 1e-5
+    )
+
+
 def test_bh_quad_2d_quadtree():
     """Quad mode on a 2D state (quadtree): z-moments are identically zero
     and the result must still beat mono."""
