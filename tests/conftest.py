@@ -22,8 +22,43 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Most of the suite's wall time is XLA compiles of the big traversal
+# programs (the slowest-30 list is a flat 10-25 s compile tail).  The
+# persistent compile cache makes repeat runs warm: ~570 s cold -> ~3 min
+# warm.  Keyed by HLO hash, so code changes invalidate exactly the
+# programs they touch.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE",
+                   os.path.expanduser("~/.cache/jax_nbody_tests")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (large-N domain decomposition, heavy "
+        "quadrupole sweeps; adds ~10 min)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test, deselected by default (--runslow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -197,6 +197,7 @@ def test_domain_accel_with_dead_particles():
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_domain_accel_realistic_64k():
     """Production-scale config on the virtual mesh (VERDICT.md #9): the
     auto_for preset (group 4096, window 8192 == the 8k shard) exercises

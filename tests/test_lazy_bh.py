@@ -2,6 +2,7 @@
 engine's incremental tree update (src/llm/barnes_hut_midterm.rs:628-672)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from nbody_tpu.api import Simulation
@@ -17,6 +18,7 @@ CFG = BHConfig(
 )
 
 
+@pytest.mark.slow
 def test_refresh_equals_rebuild_when_static():
     """With unmoved particles, refresh must reproduce the full build."""
     pos, vel, mass = self_gravitating_disc(800, seed=1)
@@ -51,6 +53,7 @@ def test_rebuild_triggers_on_bulk_motion():
     assert float(stats["moved_frac"]) > 0.9
 
 
+@pytest.mark.slow
 def test_lazy_engine_trajectory_close_to_fresh():
     """20 benchmark steps with the lazy engine track the always-rebuild
     engine closely (staleness between rebuilds is bounded by move_cells)."""
