@@ -36,8 +36,11 @@ from nbody_tpu.core.state import Bounds, ParticleState, SimParams
 from nbody_tpu.core.stepper import (
     make_step,
     make_run,
+    make_step_comp,
+    make_run_comp,
     make_step_stateful,
     make_run_stateful,
+    init_comp,
 )
 from nbody_tpu.core.energy import total_energy
 from nbody_tpu.engines import Engine, get_engine
@@ -67,8 +70,13 @@ class Simulation:
         dtype=jnp.float32,
         capacity: Optional[int] = None,
         engine_options: Optional[dict] = None,
+        compensated: bool = False,
         **settings,
     ):
+        """``compensated=True`` carries a double-float low word for pos/vel
+        and routes every integrator accumulation through an error-free
+        TwoSum (core/stepper.py make_step_comp) — closes most of the f32
+        energy-drift gap to f64 at <1% step cost (VALIDATION.md §8)."""
         if engine == "auto":
             engine = resolve_auto_engine(len(mass))
         self.engine = get_engine(engine, **(engine_options or {}))
@@ -85,7 +93,14 @@ class Simulation:
             dtype=dtype,
             **settings,
         )
+        self.compensated = bool(compensated)
+        self._lo = None
         if self.engine.stateful:
+            if self.compensated:
+                raise ValueError(
+                    "compensated=True is not supported with stateful engines "
+                    "(bh-lazy); use engine='bh'"
+                )
             self._carry = self.engine.init_carry(
                 self._state.pos, self._state.effective_mass(), self._params
             )
@@ -93,6 +108,11 @@ class Simulation:
             self._run_c = make_run_stateful(self.engine, integrator)
             self._step = None
             self._run = None
+        elif self.compensated:
+            self._carry = None
+            self._lo = init_comp(self._state)
+            self._step = jax.jit(make_step_comp(self.engine.force, integrator))
+            self._run = make_run_comp(self.engine.force, integrator)
         else:
             self._carry = None
             self._step = jax.jit(make_step(self.engine.force, integrator))
@@ -111,6 +131,7 @@ class Simulation:
         )
         self._initial = self._state
         self._initial_carry = self._carry
+        self._initial_lo = self._lo
 
     def reset(self):
         """Restore initial particles, keep current settings (reference 'Reset'
@@ -119,6 +140,7 @@ class Simulation:
             raise RuntimeError("init() was never called")
         self._state = self._initial
         self._carry = self._initial_carry
+        self._lo = self._initial_lo
 
     # -- stepping ----------------------------------------------------------
 
@@ -131,6 +153,10 @@ class Simulation:
             self._state, self._carry = self._step_c(
                 self._state, self._carry, self._params, dt
             )
+        elif self.compensated:
+            self._state, self._lo = self._step(
+                self._state, self._lo, self._params, dt
+            )
         else:
             self._state = self._step(self._state, self._params, dt)
 
@@ -140,6 +166,10 @@ class Simulation:
         if self.engine.stateful:
             self._state, self._carry = self._run_c(
                 self._state, self._carry, self._params, n_steps, dt
+            )
+        elif self.compensated:
+            self._state, self._lo = self._run(
+                self._state, self._lo, self._params, n_steps, dt
             )
         else:
             self._state = self._run(self._state, self._params, n_steps, dt)
@@ -152,6 +182,10 @@ class Simulation:
         if self.engine.stateful:
             self._run_c.lower(
                 self._state, self._carry, self._params, n_steps, dt
+            ).compile()
+        elif self.compensated:
+            self._run.lower(
+                self._state, self._lo, self._params, n_steps, dt
             ).compile()
         else:
             self._run.lower(self._state, self._params, n_steps, dt).compile()
@@ -230,7 +264,7 @@ class Simulation:
     def _payload(self) -> dict:
         st = jax.device_get(self._state)
         pr = jax.device_get(self._params)
-        return {
+        out = {
             "state": {f.name: getattr(st, f.name) for f in dataclasses.fields(st)},
             "params": {
                 "g": pr.g,
@@ -242,6 +276,14 @@ class Simulation:
             },
             "engine": self.engine.name,
         }
+        if self.compensated:
+            # double-float low words ride along so a restored run keeps its
+            # compensation (dropping them would only cost a 2^-24 jump)
+            out["lo"] = {
+                "pos_lo": jax.device_get(self._lo[0]),
+                "vel_lo": jax.device_get(self._lo[1]),
+            }
+        return out
 
     def save(self, path: str, format: str = "pickle"):
         """Checkpoint to ``path``.  format='pickle' writes a single file;
@@ -288,6 +330,13 @@ class Simulation:
                 half_width=jnp.asarray(p["bounds_half_width"]),
             ),
         )
+        if self.compensated:
+            lo = payload.get("lo")
+            self._lo = (
+                (jnp.asarray(lo["pos_lo"]), jnp.asarray(lo["vel_lo"]))
+                if lo is not None else init_comp(self._state)
+            )
+            self._initial_lo = self._lo
         if self.engine.stateful:
             # stateful engines (bh-lazy) carry a tree bound to the positions
             # it was built from; rebinding it to the restored state avoids a

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "counters)")
     p.add_argument("--save", metavar="PATH", default=None,
                    help="checkpoint the final state to PATH")
+    p.add_argument("--compensated", action="store_true",
+                   help="carry double-float (TwoSum) low words for pos/vel: "
+                   "closes most of the f32 energy-drift gap to f64 at <1%% "
+                   "step cost (single-device engines only)")
     return p
 
 
@@ -84,6 +88,10 @@ def main(argv=None) -> dict:
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation
 
+        if args.compensated:
+            raise SystemExit(
+                "--compensated is single-device only (use --devices 1)"
+            )
         sim = ShardedSimulation(
             pos, vel, mass,
             engine=args.engine,
@@ -101,6 +109,7 @@ def main(argv=None) -> dict:
             bounds_width=args.box_width,
             dtype=dtype,
             dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
+            compensated=args.compensated,
         )
 
     e0 = sim.energy() if args.energy else None

@@ -23,6 +23,11 @@ class Integrator:
     name: str
     pre_force: Callable  # (pos, vel, dt) -> pos
     after_force: Callable  # (pos, vel, acc, dt) -> (pos, vel)
+    # drift/kick decomposition for the compensated (double-float) stepper
+    # (core/stepper.py make_step_comp): both shipped integrators are
+    # "drift pre_frac*dt -> force -> kick dt -> drift post_frac*dt"
+    pre_drift_frac: float = 0.5
+    post_drift_frac: float = 0.5
 
 
 def _leapfrog_pre(pos, vel, dt):
@@ -48,8 +53,10 @@ def _euler_after(pos, vel, acc, dt):
     return pos, vel
 
 
-LEAPFROG = Integrator("leapfrog", _leapfrog_pre, _leapfrog_after)
-EULER = Integrator("euler", _euler_pre, _euler_after)
+LEAPFROG = Integrator("leapfrog", _leapfrog_pre, _leapfrog_after,
+                      pre_drift_frac=0.5, post_drift_frac=0.5)
+EULER = Integrator("euler", _euler_pre, _euler_after,
+                   pre_drift_frac=0.0, post_drift_frac=1.0)
 
 INTEGRATORS = {i.name: i for i in (LEAPFROG, EULER)}
 
