@@ -138,12 +138,18 @@ class SimLoop(threading.Thread):
 
 
 class VisServer:
-    def __init__(self, sim, host="127.0.0.1", port=8000, max_boxes=20000):
+    def __init__(self, sim, host="127.0.0.1", port=8000, max_boxes=20000,
+                 max_points=100_000):
         self.sim = sim
         self.loop = SimLoop(sim)
         self.host = host
         self.port = port
         self.max_boxes = max_boxes
+        # large-N survival (VERDICT r2 #7): streaming the full alive set is
+        # ~12 MB/frame at 1M — hopeless over a ~1-6 MB/s tunnel.  Positions
+        # are strided ON DEVICE down to <= max_points before the host pull,
+        # so both the device->host transfer and the HTTP payload shrink.
+        self.max_points = int(max_points)
         self._initial_settings = self._settings_dict()
 
     def _settings_dict(self):
@@ -159,9 +165,26 @@ class VisServer:
 
     # -- payload builders ----------------------------------------------------
 
-    def positions_blob(self) -> bytes:
-        pos, _, _, _ = self.sim.get_points()
-        return np.ascontiguousarray(pos, dtype=np.float32).tobytes()
+    def point_stride(self) -> int:
+        """Deterministic decimation stride: capacity-based so it is stable
+        across frames (the same particles stream every poll — no shimmer)."""
+        if self.max_points <= 0:
+            return 1
+        cap = self.sim.state.capacity
+        return max(1, -(-cap // self.max_points))
+
+    def positions_blob(self, stride: int | None = None) -> bytes:
+        if stride is None:
+            stride = self.point_stride()
+        if stride <= 1:
+            pos, _, _, _ = self.sim.get_points()
+            return np.ascontiguousarray(pos, dtype=np.float32).tobytes()
+        # strided slice executes on device; only the decimated rows cross
+        # the host boundary
+        st = self.sim.state
+        pos = np.asarray(st.pos[::stride], dtype=np.float32)
+        alive = np.asarray(st.alive[::stride])
+        return np.ascontiguousarray(pos[alive]).tobytes()
 
     def boxes_blob(self) -> bytes:
         """f32 records (min3, max3, depth_frac) per octree node, the analog
@@ -199,6 +222,8 @@ class VisServer:
             "settings": self._settings_dict(),
             "engine": self.sim.engine.name,
             "bounds_width": float(self.sim.settings.bounds.width),
+            # decimation telemetry: the client shows "~N/stride of N"
+            "point_stride": self.point_stride(),
         }
 
     # -- HTTP ----------------------------------------------------------------
@@ -217,16 +242,24 @@ class VisServer:
                 self.wfile.write(data)
 
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
+                path, _, query = self.path.partition("?")
+                if path in ("/", "/index.html"):
                     with open(os.path.join(_STATIC, "index.html"), "rb") as f:
                         self._send(f.read(), "text/html")
-                elif self.path == "/api/positions":
-                    self._send(server.positions_blob(),
+                elif path == "/api/positions":
+                    stride = None
+                    for kv in query.split("&"):
+                        if kv.startswith("stride="):
+                            try:
+                                stride = max(1, int(kv[7:]))
+                            except ValueError:
+                                pass
+                    self._send(server.positions_blob(stride),
                                "application/octet-stream")
-                elif self.path == "/api/boxes":
+                elif path == "/api/boxes":
                     self._send(server.boxes_blob(),
                                "application/octet-stream")
-                elif self.path == "/api/meta":
+                elif path == "/api/meta":
                     self._send(json.dumps(server.meta()).encode(),
                                "application/json")
                 else:
@@ -267,9 +300,9 @@ class VisServer:
         return httpd
 
 
-def run(sim, host="127.0.0.1", port=8000):
+def run(sim, host="127.0.0.1", port=8000, max_points=100_000):
     """vis::run(sim) equivalent (reference src/vis.rs:562)."""
-    VisServer(sim, host, port).serve()
+    VisServer(sim, host, port, max_points=max_points).serve()
 
 
 def main(argv=None):
@@ -289,6 +322,9 @@ def main(argv=None):
     p.add_argument("--dt", type=float, default=3e-2)
     p.add_argument("--g-soft", type=float, default=0.02)
     p.add_argument("--theta2", type=float, default=1.0)
+    p.add_argument("--max-points", type=int, default=100_000,
+                   help="decimate streamed positions to about this many "
+                   "(0 = stream all; 1M x f32 is ~12 MB/frame)")
     args = p.parse_args(argv)
 
     pos, vel, mass = SCENES[args.scene](args.n, seed=0)
@@ -297,7 +333,7 @@ def main(argv=None):
         dt=args.dt, g_soft=args.g_soft, theta2=args.theta2,
         dtype=jnp.float32,
     )
-    run(sim, args.host, args.port)
+    run(sim, args.host, args.port, max_points=args.max_points)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,27 @@ def test_positions_blob_roundtrip():
     np.testing.assert_allclose(arr, p.astype(np.float32))
 
 
+def test_positions_decimation():
+    """Large-N survival (VERDICT r2 #7): with max_points below capacity the
+    stream is strided deterministically; explicit ?stride= overrides."""
+    sim = make_sim(1000)  # capacity pads to 1024
+    srv = VisServer(sim, port=0, max_points=256)
+    assert srv.point_stride() == 4  # ceil(1024 / 256)
+    arr = np.frombuffer(srv.positions_blob(), np.float32).reshape(-1, 3)
+    p, _, _, _ = sim.get_points()
+    # strided-by-4 alive rows of the capacity array
+    alive = np.asarray(sim.state.alive)[::4]
+    want = np.asarray(sim.state.pos)[::4][alive]
+    np.testing.assert_allclose(arr, want.astype(np.float32))
+    assert arr.shape[0] <= 256 and arr.shape[0] >= 200
+    # stride=1 override streams everything
+    full = np.frombuffer(srv.positions_blob(1), np.float32).reshape(-1, 3)
+    np.testing.assert_allclose(full, p.astype(np.float32))
+    # same frame-to-frame subset (stable decimation, no shimmer)
+    arr2 = np.frombuffer(srv.positions_blob(), np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(arr, arr2)
+
+
 def test_boxes_blob_bh():
     sim = make_sim(300, engine="bh")
     srv = VisServer(sim, port=0)
@@ -80,6 +101,10 @@ def test_http_endpoints():
         assert b"nbody_tpu" in html
         blob = urllib.request.urlopen(base + "/api/positions").read()
         assert len(blob) == 101 * 12
+        blob4 = urllib.request.urlopen(
+            base + "/api/positions?stride=4").read()
+        assert 0 < len(blob4) < len(blob)
+        assert meta["point_stride"] == 1
         # settings control round-trips
         req = urllib.request.Request(
             base + "/api/control",
