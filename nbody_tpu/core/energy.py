@@ -71,5 +71,45 @@ def potential_energy(state: ParticleState, params: SimParams, tile: int = 512):
     return jnp.sum(partials)
 
 
-def total_energy(state: ParticleState, params: SimParams, tile: int = 512):
-    return kinetic_energy(state) + potential_energy(state, params, tile=tile)
+def potential_energy_bh(state: ParticleState, params: SimParams,
+                        theta2=None, cfg=None):
+    """Tree-approximated potential energy (VERDICT r2 #8): O(N log N)
+    instead of the exact O(N²) pair pass, so energy diagnostics at 4M+
+    stop costing more than the steps they diagnose.
+
+    Window/near pairs are exact; accepted nodes contribute self-excluded
+    monopoles (ops/traversal.py traverse_tree_phi).  Measured accuracy vs
+    the exact pair PE: ~1e-4 relative at 8k/θ²=1 (tests/test_energy.py) —
+    far below the drift levels the diagnostic watches.  ``theta2`` defaults
+    to the run's own opening angle; pass a smaller one for a tighter
+    estimate."""
+    from nbody_tpu.ops.traversal import BHConfig, bh_potential
+
+    n = state.capacity
+    if cfg is None:
+        # generous fb budget: spill rows degrade to self-INCLUSIVE plain
+        # monopoles, the one uncontrolled term in the φ estimator
+        cfg = BHConfig.auto_for(n, multipole="mono", fb_cap=2048)
+    t2 = params.theta2 if theta2 is None else theta2
+    u, _stats = bh_potential(state.pos, state.effective_mass(),
+                             params.bounds, t2, params.g, params.g_soft,
+                             cfg)
+    return u
+
+
+# exact pair PE above this capacity costs more than a sim step; the tree
+# estimator's ~1e-4 relative error is noise at diagnostic drift levels
+_BH_ENERGY_THRESHOLD = 1 << 18
+
+
+def total_energy(state: ParticleState, params: SimParams, tile: int = 512,
+                 method: str = "auto"):
+    """method: 'exact' (O(N²) pair PE — the small-N oracle), 'bh' (tree
+    estimator), or 'auto' (exact below 262k capacity, tree above)."""
+    if method == "auto":
+        method = ("bh" if state.capacity > _BH_ENERGY_THRESHOLD else "exact")
+    if method == "bh":
+        pe = potential_energy_bh(state, params)
+    else:
+        pe = potential_energy(state, params, tile=tile)
+    return kinetic_energy(state) + pe

@@ -379,6 +379,160 @@ def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
     return g * acc
 
 
+def _fb_phi(gpos, gidx, gmass, fb, g, g_soft):
+    """Self-excluded POTENTIAL from the overflow-fallback slab — the φ
+    analog of _fb_eval's monopole branch: φ_i += -G M' / sqrt(|com'-p|²+ε²)
+    with the target's own mass removed in closed form (M' = M - m_i,
+    com' = (S - m_i p_i)/M')."""
+    M = fb[:, 0]
+    S = fb[:, 1:4]
+    cs = fb[:, 4]
+    ce = fb[:, 5]
+    ti = gidx.astype(gpos.dtype)[:, None]
+    inside = (cs[None, :] <= ti) & (ti < ce[None, :])
+    mi = jnp.where(inside, gmass[:, None], 0.0)
+    m_eff = M[None, :] - mi
+    valid = m_eff > 0.0
+    tiny = jnp.asarray(jnp.finfo(gpos.dtype).tiny, gpos.dtype)
+    num = S[None, :, :] - mi[:, :, None] * gpos[:, None, :]
+    com = num / jnp.maximum(m_eff, tiny)[:, :, None]
+    d = com - gpos[:, None, :]
+    r2 = jnp.sum(d * d, axis=-1) + g_soft * g_soft
+    ok = valid & (r2 > 0.0)
+    inv_r = jax.lax.rsqrt(jnp.where(ok, r2, 1.0))
+    return -g * jnp.sum(jnp.where(ok, m_eff * inv_r, 0.0), axis=1)
+
+
+def _phi_slab_eval(slab, tgt8, g, g_soft, cfg: BHConfig):
+    """Per-target potential from the assembled slab (window + near exact
+    rows, idx-matched self-exclusion; multipole rows idx = -1 never match).
+    XLA contraction, chunked like _slab_eval's non-Pallas path — the
+    potential is a diagnostic, not a step cost."""
+    G, B, _ = tgt8.shape
+    S = slab.shape[1]
+    CG = cfg.chunk_groups
+    n_chunks = G // CG
+    eps2 = g_soft * g_soft
+
+    def one(sl, t8):
+        d = sl[None, :, :3] - t8[:, None, :3]  # [B, S, 3]
+        r2 = jnp.sum(d * d, axis=-1) + eps2
+        skip = (
+            (sl[None, :, 4] == t8[:, None, 4])
+            | (r2 <= 0.0)
+            | (sl[None, :, 3] == 0.0)
+        )
+        inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
+        return -g * jnp.sum(
+            jnp.where(skip, 0.0, sl[None, :, 3] * inv_r), axis=1
+        )
+
+    def body(args):
+        sl_c, t8_c = args
+        return jax.vmap(one)(sl_c, t8_c)
+
+    return jax.lax.map(
+        body,
+        (slab.reshape(n_chunks, CG, S, 8), tgt8.reshape(n_chunks, CG, B, 8)),
+    ).reshape(G, B)
+
+
+def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
+    """Tree-approximated total POTENTIAL ENERGY over an already-built tree:
+    the same chunked collect walk and slab assembly as traverse_tree, with a
+    φ accumulator instead of forces (VERDICT r2 #8 — an O(N²) energy pass
+    at 4M+ costs more than the step it diagnoses).
+
+    U = ½ Σ_i m_i φ_i; window/near pairs are exact (idx self-exclusion),
+    accepted nodes and fb rows contribute self-excluded monopoles, fb-SPILL
+    rows plain monopoles (counted in stats, rare under a generous fb_cap).
+    Accuracy is the monopole envelope — measured ~1e-4 relative vs the
+    exact pair PE at 8k/θ²=1 (tests/test_energy.py).  Returns (U, stats)."""
+    B = cfg.group_size
+    CG = cfg.chunk_groups
+    block = B * CG
+    pad = (-n) % block
+    dtype = tree.pos_s.dtype
+    n_tot = n + pad
+    idxf = jnp.arange(n_tot, dtype=dtype)
+    pm4 = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
+    if pad:
+        pm4 = jnp.concatenate([pm4, jnp.zeros((pad, 4), dtype)])
+    pmass8 = jnp.concatenate(
+        [pm4, idxf[:, None], jnp.zeros((n_tot, 3), dtype)], axis=1
+    )
+    window = min(cfg.window, n_tot)
+    gidx = jnp.arange(n_tot, dtype=jnp.int32)
+    w = bounds.width
+    cell_w2 = tuple(
+        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
+    )
+    collect = partial(
+        _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
+        phi=True,
+    )
+    vm_collect = jax.vmap(collect)
+    n_groups = n_tot // B
+    cgp8 = pmass8.reshape(n_groups // CG, CG, B, 8)
+    cgi = gidx.reshape(n_groups // CG, CG, B)
+
+    def chunk_body(args):
+        cp8, ci = args
+        return vm_collect(cp8[..., :3], cp8[..., 3], ci)
+
+    (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, phi_fb,
+     stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+    G = n_groups
+    W = window
+    mono = mono.reshape(G, cfg.accept_cap, 8)
+    wmask = wmask.reshape(G, W)
+    wstart = wstart.reshape(G)
+    phi_fb = phi_fb.reshape(G, B)
+    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+
+    pidx, pvalid, _ntot = _expand_ranges(
+        tree.level_table[cfg.max_level],
+        near_ids.reshape(G, cfg.near_cell_cap),
+        near_valid.reshape(G, cfg.near_cell_cap),
+        cfg.near_particle_cap,
+    )
+    wrows = jax.vmap(
+        lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)), (W, 8))
+    )(wstart)
+    wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
+    nrows = pmass8[pidx]
+    nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
+    # multipole rows always ride the pair pass as monopoles here (idx -1
+    # never matches a target): φ needs no quadrupole machinery
+    slab = jnp.concatenate([wrows, nrows, mono], axis=1)
+    tgt8 = cgp8.reshape(G, B, 8)
+
+    phi = _phi_slab_eval(slab, tgt8, g, g_soft, cfg) + phi_fb
+    m_t = tgt8[..., 3]
+    U = 0.5 * jnp.sum(m_t * phi)
+    stats = {
+        "accept_dropped": jnp.sum(adrop),
+        "frontier_fallback": jnp.sum(fdrop),
+        "near_fallback": jnp.sum(ndrop),
+        "fb_spill": jnp.sum(fbspill),
+    }
+    return U, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bh_potential(pos, mass, bounds, theta2, g, g_soft,
+                 cfg: BHConfig = None):
+    """Tree-approximated total potential energy (build + φ traversal).
+    pos [N,3], mass [N] (zero for dead) -> (U scalar, stats dict)."""
+    if cfg is None:
+        cfg = BHConfig()
+    pos_c = pos - bounds.center
+    b0 = bounds.centered()
+    tree = build_octree(pos_c, mass, b0, cfg.max_level, dim=cfg.dim,
+                        quad=False, quad_leaf=False)
+    return traverse_tree_phi(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
+
+
 def _compact(ids, keep, out_slots):
     """Order-preserving compaction of ``ids[keep]`` into ``out_slots`` slots
     via cumsum + scatter (O(F), no sort).
@@ -419,6 +573,7 @@ def _group_collect(
     gmass,
     gidx,
     local_bounds=None,
+    phi: bool = False,
 ):
     """Traversal (collection only) for ONE group (vmapped over groups).
 
@@ -607,7 +762,9 @@ def _group_collect(
     wmask = jnp.cumsum(delta)[:W] > 0
 
     # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval)
-    if cfg.multipole == "quad" and cfg.fb_quad:
+    if phi:
+        acc_fb = _fb_phi(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
+    elif cfg.multipole == "quad" and cfg.fb_quad:
         goffs = jnp.array(
             [level_offset(lv, branch) for lv in range(L + 1)], jnp.int32
         )
