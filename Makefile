@@ -1,9 +1,18 @@
 # Developer entry points (see .claude/skills/verify/SKILL.md for TPU quirks)
 
-.PHONY: test bench sweep oracle plots clean
+.PHONY: test test-all smoke-tpu bench sweep oracle plots clean
 
 test:
 	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q --runslow
+
+# pinned on-TPU regression smoke (~2-4 min): real-Mosaic kernel paths with
+# known-good perf floors + a dense-force cross-check.  ONE TPU process at
+# a time (see .claude/skills/verify/SKILL.md).
+smoke-tpu:
+	timeout 600 python scripts/smoke_tpu.py
 
 bench:
 	python bench.py

@@ -290,11 +290,13 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
     st = S // tile
     if mask is not None:
         assert mask.shape == (G, bt, st), (mask.shape, (G, bt, st))
-        # one (1, 128) lane-row per (target-tile, source-tile) pair: value
-        # replicated across the lanes so the index map can hand the kernel
-        # a Mosaic-legal block
+        # one (8, 128) tile per (target-tile, source-tile) pair: Mosaic
+        # requires block shapes divisible by (8, 128) unless equal to the
+        # whole array — a (1, 128) row compiles in interpret mode but is
+        # rejected by the real lowering (caught on TPU, round 3)
         maskx = jnp.repeat(
-            mask.reshape(G * bt, st).astype(dtype), 128, axis=1
+            jnp.repeat(mask.reshape(G * bt, st).astype(dtype), 8, axis=0),
+            128, axis=1,
         )
 
     def call(guard):
@@ -305,7 +307,7 @@ def group_force_pallas(tgt8, slabT, g, g_soft, *, tile: int = 2048,
         ]
         if mask is not None:
             specs.append(
-                pl.BlockSpec((1, 128),
+                pl.BlockSpec((8, 128),
                              lambda gi, bi, j, bt=bt: (gi * bt + bi, j),
                              memory_space=pltpu.VMEM)
             )

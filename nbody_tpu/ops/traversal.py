@@ -1291,6 +1291,12 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         # block-dual: (target-tile, source-tile) pairs evaluated as a tile
         # quadrupole instead of dense pair work (0 when block_dual=False)
         "dual_tiles": n_dual,
+        # slab occupancy diagnostics: fraction of window rows whose cell is
+        # covered (rest ride the dense eval with zero mass), and the mean
+        # nonzero fraction of the whole assembled slab — the pair kernel's
+        # ALU utilization ceiling (zero-mass rows pay full VPU cost)
+        "window_cov": jnp.mean(wmask.astype(dtype)),
+        "slab_fill": jnp.mean((slab[..., 3] != 0.0).astype(dtype)),
     }
     return acc, stats
 

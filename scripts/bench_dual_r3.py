@@ -34,6 +34,8 @@ CASES = [
     ("quad_1m_base", 1 << 20, None),  # fresh baseline, same tunnel session
     ("quad_1m_dual", 1 << 20, dict(block_dual=True)),
     ("quad_1m_dual_et1024", 1 << 20, dict(block_dual=True, eval_tile=1024)),
+    ("quad_1m_dual_et512", 1 << 20, dict(block_dual=True, eval_tile=512)),
+    ("quad_1m_et1024_base", 1 << 20, dict(eval_tile=1024)),
     ("quad_1m_dual_m05", 1 << 20, dict(block_dual=True, dual_margin=0.5)),
     ("quad_1m_dual_m12", 1 << 20, dict(block_dual=True, dual_margin=1.2)),
     ("mono_1m_dual", 1 << 20, dict(multipole="mono", block_dual=True)),

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Pinned on-TPU smoke (VERDICT r2 #5): one command that catches a
+Mosaic/kernel regression without the full sweep.
+
+All 100+ CPU tests cover Pallas kernels in interpret mode only — exactly
+the layer where real Mosaic lowering has bitten before (SMEM hangs,
+narrow-dot miscompiles, (1, 128) mask blocks, scoped-VMEM OOMs).  This
+runs the two production paths on the real chip with known-good bounds:
+
+  * brute-pallas @64k x 25 steps — the flagship pair kernel;
+  * bh (quad defaults) @131k x 10 steps — tree build + walk + fused slab
+    Pallas kernels;
+  * a 4k-particle force cross-check of both engines against the XLA f32
+    dense sum (catches silent miscompiles, not just crashes/slowdowns).
+
+Perf bounds are LOOSE (tunnel noise is +-8%, and remote-compile latency
+degrades over long sessions — CLAUDE.md): they catch 2x regressions, not
+5% ones.  Total ~2-4 min after compile cache warmup.  Exit code != 0 on
+any violation.  Run: make smoke-tpu
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.core.state import ParticleState, SimParams
+from nbody_tpu.core.stepper import make_run
+from nbody_tpu.engines import get_engine
+from nbody_tpu.scenes import self_gravitating_disc
+
+# (name, engine, n, steps, min_steps_per_s) — floors are ~0.5x the round-2
+# measured rates (41 @64k brute-pallas, 25.5 @131k bh-quad)
+CASES = [
+    ("brute-pallas@64k", "brute-pallas", 1 << 16, 25, 15.0),
+    ("bh-quad@131k", "bh", 1 << 17, 10, 10.0),
+]
+
+
+def main() -> int:
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    failures = []
+
+    # ---- accuracy cross-check @4k: engines vs XLA dense f32 ----
+    pos, vel, mass = self_gravitating_disc(4095, seed=0)
+    st = ParticleState.create(pos, vel, mass, capacity=4096,
+                              dtype=jnp.float32)
+    m = st.effective_mass()
+    from nbody_tpu.engines.brute_force import force_dense
+
+    ref = np.asarray(jax.jit(force_dense)(st.pos, m, params))
+    rn = np.maximum(np.linalg.norm(ref, axis=1), 1e-30)
+    for ename in ("brute-pallas", "bh"):
+        eng = get_engine(ename)
+        acc = np.asarray(jax.jit(eng.force)(st.pos, m, params))
+        err = np.linalg.norm(acc - ref, axis=1) / rn
+        med = float(np.median(err))
+        bound = 1e-4 if ename.startswith("brute") else 5e-3
+        ok = np.isfinite(err).all() and med < bound
+        print(f"[accuracy] {ename}@4k median rel err {med:.2e} "
+              f"(bound {bound:.0e}) {'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(f"accuracy:{ename}")
+
+    # ---- perf floors ----
+    for name, ename, n, steps, floor in CASES:
+        pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+        state = ParticleState.create(pos, vel, mass, capacity=n,
+                                     dtype=jnp.float32)
+        run = make_run(get_engine(ename).force)
+        t0 = time.perf_counter()
+        out = run(state, params, steps)
+        float(out.time)  # relay-safe sync
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = run(out, params, steps)
+        float(out.time)
+        rate = steps / (time.perf_counter() - t0)
+        ok = rate >= floor and bool(np.isfinite(np.asarray(out.pos)).all())
+        print(f"[perf] {name}: {rate:.1f} steps/s (floor {floor}, "
+              f"compile {compile_s:.0f}s) {'OK' if ok else 'FAIL'}",
+              flush=True)
+        if not ok:
+            failures.append(f"perf:{name}")
+
+    if failures:
+        print("SMOKE FAILED:", ", ".join(failures))
+        return 1
+    print("SMOKE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
