@@ -51,6 +51,12 @@ CONFIGS = {
     "quad3_auto": dict(quad_leaf=False, accept_margin=1.0),
     "quad3_m08": dict(quad_leaf=False, accept_margin=0.8),
     "defaults": {},  # whatever BHConfig currently defaults to (regression row)
+    # round 3: block-dual far field (tile-pair acceptance over the eval
+    # grid; dual approximates previously-EXACT window/near work, so its
+    # accuracy cost is the decision gate for flipping the default)
+    "dual": dict(block_dual=True),
+    "dual_m12": dict(block_dual=True, dual_margin=1.2),
+    "dual_mono": dict(multipole="mono", block_dual=True),
 }
 
 

@@ -39,6 +39,11 @@ CASES = [
     ("quad_1m_dual_m05", 1 << 20, dict(block_dual=True, dual_margin=0.5)),
     ("quad_1m_dual_m12", 1 << 20, dict(block_dual=True, dual_margin=1.2)),
     ("mono_1m_dual", 1 << 20, dict(multipole="mono", block_dual=True)),
+    ("mono_1m_base", 1 << 20, dict(multipole="mono")),
+    ("mono_1m_dual_m12", 1 << 20,
+     dict(multipole="mono", block_dual=True, dual_margin=1.2)),
+    ("mono_524k_dual", 1 << 19, dict(multipole="mono", block_dual=True)),
+    ("mono_2m_dual", 1 << 21, dict(multipole="mono", block_dual=True)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),

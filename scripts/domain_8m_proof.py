@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Capacity proof for the domain-decomposed BH path (VERDICT r2 #2).
+
+N = 8M (2^23) does NOT fit one v5e chip — the single-chip engine OOMs HBM
+by ~300 MB at 8M (round-2 measurement, CLAUDE.md).  parallel/domain.py
+exists exactly for this regime: every per-particle array is O(N/n_dev +
+halo) per chip.  This script runs the REAL domain_accel (and two fused
+engine steps) at 8M on the 8-virtual-device CPU mesh and records:
+
+  * trace-time shape assertions: nothing per-particle exceeds
+    O(n_loc + halo) = O(1M + window);
+  * graceful-degradation stats (accept/frontier drops must be zero;
+    near_fallback counted);
+  * a 256-particle spot check against the EXACT dense force (numpy f64
+    over all 8M sources) — the BH error must sit in the normal theta
+    envelope (median ~1e-3 at theta^2 = 1);
+  * wall time (CPU virtual mesh — a capacity/correctness result, not a
+    perf number).
+
+Writes results/domain_8m_virtual.json.  Runtime ~10-25 min on the host
+CPU; run detached (CLAUDE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# JAX_PLATFORMS env is rewritten by the image's sitecustomize; the config
+# call is the reliable way to stay off the (single) TPU chip (CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+from nbody_tpu.core.state import ParticleState, SimParams  # noqa: E402
+from nbody_tpu.ops.traversal import BHConfig  # noqa: E402
+from nbody_tpu.parallel.domain import domain_accel  # noqa: E402
+from nbody_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh  # noqa: E402
+from nbody_tpu.scenes import self_gravitating_disc  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results",
+                   "domain_8m_virtual.json")
+
+N = 1 << 23  # 8M: single-chip OOM territory (round-2 measurement)
+NDEV = 8
+SPOT = 256
+
+
+def main():
+    t0 = time.perf_counter()
+    assert len(jax.devices()) >= NDEV, jax.devices()
+    mesh = make_mesh(NDEV)
+
+    print(f"building {N} particle scene...", flush=True)
+    pos, vel, mass = self_gravitating_disc(N - 1, seed=0)
+    state = ParticleState.create(pos, vel, mass, capacity=N,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    m = state.effective_mass()
+    n_loc = N // NDEV
+
+    # the production preset for this N, with budgets the 1M tuning showed
+    # keep fallbacks modest; far caps sized for octant seams at L=7
+    cfg = BHConfig.auto_for(N)
+    print(f"config: group={cfg.group_size} window={cfg.window} "
+          f"L={cfg.max_level} chunks={cfg.chunk_groups}", flush=True)
+
+    shapes = {}
+
+    def body(p_loc, m_loc):
+        # trace-time O(n_loc + halo) proof: domain_accel's own internals
+        # assert via these shapes (halo == window)
+        assert p_loc.shape == (n_loc, 3), p_loc.shape
+        acc, stats = domain_accel(p_loc, m_loc, params.bounds,
+                                  params.theta2, params.g, params.g_soft,
+                                  cfg, PARTICLE_AXIS, NDEV)
+        assert acc.shape == (n_loc, 3), acc.shape
+        return acc, stats
+
+    sm = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
+        out_specs=(P(PARTICLE_AXIS), P()), check_vma=False,
+    )
+    fn = jax.jit(sm)
+
+    print("compiling + running domain_accel @8M on the 8-device mesh...",
+          flush=True)
+    t1 = time.perf_counter()
+    acc, stats = fn(state.pos, m)
+    acc = np.asarray(acc)
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+    t2 = time.perf_counter()
+    print(f"accel done in {t2 - t1:.1f}s (incl. compile)", flush=True)
+
+    # ---- spot check vs the exact dense force (numpy f64, all 8M sources)
+    rng = np.random.default_rng(1)
+    alive = np.asarray(m) > 0
+    idx = rng.choice(np.nonzero(alive)[0], SPOT, replace=False)
+    p64 = np.asarray(state.pos, np.float64)
+    m64 = np.asarray(m, np.float64)
+    eps2 = float(params.g_soft) ** 2
+    tgt = p64[idx]
+    exact = np.zeros((SPOT, 3))
+    CH = 1 << 16  # keeps the [SPOT, CH, 3] f64 temporaries ~0.4 GB
+    for s in range(0, N, CH):
+        src = p64[s:s + CH]
+        sm_ = m64[s:s + CH]
+        d = src[None, :, :] - tgt[:, None, :]
+        r2 = (d * d).sum(-1) + eps2
+        w = np.where(r2 > 0, sm_[None, :] / np.where(r2 > 0, r2, 1) ** 1.5, 0.0)
+        # self pairs: d = 0 -> contribute zero via w*d
+        exact += (w[..., None] * d).sum(1)
+    err = np.linalg.norm(acc[idx] - exact, axis=1) / np.maximum(
+        np.linalg.norm(exact, axis=1), 1e-30
+    )
+    print(f"spot error: median {np.median(err):.2e} "
+          f"p99 {np.percentile(err, 99):.2e} max {err.max():.2e}", flush=True)
+
+    # ---- two fused engine steps end-to-end (integrator + cull + forces)
+    from nbody_tpu.parallel.sharded import ShardedSimulation
+
+    print("two fused steps via ShardedSimulation(engine='bh')...", flush=True)
+    t3 = time.perf_counter()
+    sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=NDEV,
+                            capacity=N, dt=3e-2, g_soft=0.02, theta2=1.0,
+                            bounds_width=10.0, dtype=jnp.float32)
+    sim.run(2)
+    sim.block_until_ready()
+    t4 = time.perf_counter()
+    n_alive = sim.n_alive
+    print(f"2 steps done in {t4 - t3:.1f}s, n_alive={n_alive}", flush=True)
+
+    out = {
+        "n": N,
+        "n_dev": NDEV,
+        "n_loc": n_loc,
+        "halo": int(min(cfg.window, n_loc)),
+        "config": {"group_size": cfg.group_size, "window": cfg.window,
+                   "max_level": cfg.max_level,
+                   "multipole": cfg.multipole},
+        "accel_s_incl_compile": t2 - t1,
+        "steps2_s_incl_compile": t4 - t3,
+        "stats": {k: (v.tolist() if v.size < 16 else
+                      {"sum": float(v.sum()), "max": float(v.max())})
+                  for k, v in stats.items()},
+        "spot_err_median": float(np.median(err)),
+        "spot_err_p99": float(np.percentile(err, 99)),
+        "spot_err_max": float(err.max()),
+        "n_alive_after_2_steps": int(n_alive),
+        "total_s": time.perf_counter() - t0,
+        "note": "8-virtual-device CPU mesh; 8M does not fit one v5e chip "
+                "(single-chip OOM by ~300MB, round-2). Per-chip arrays are "
+                "O(n_loc + halo); accept/frontier drops asserted zero.",
+    }
+    assert float(stats["accept_dropped"].sum()) == 0, stats
+    assert float(stats["frontier_fallback"].sum()) == 0, stats
+    assert np.median(err) < 5e-3, np.median(err)
+    assert np.percentile(err, 99) < 1e-1, np.percentile(err, 99)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
