@@ -48,12 +48,14 @@ from nbody_tpu.engines import Engine, get_engine
 
 def resolve_auto_engine(n: int) -> str:
     """Engine choice for ``engine="auto"`` — the measured single-chip
-    crossover (results/combined_nbody_tpu.csv): direct sum 18.4 vs tree 17.1
-    steps/s at N=90k, 14.9 vs 15.6 at 100k; the tuned tree wins beyond ~95k.
+    crossover on the v8 fused engine path (results/crossover_r3.jsonl,
+    round 3): direct sum 72.9 vs tree 64.9 steps/s at N=49k, 42.2 vs 51.2
+    at 64k — log-interpolated equality at ~55k.  (Round 1 measured ~95k;
+    the tree engine gained ~2.8x since, the brute kernel ~1.2x.)
     (The reference selects engines by editing main.rs, src/main.rs:91-101.)"""
-    if jax.default_backend() == "cpu" and n <= 95000:
+    if jax.default_backend() == "cpu" and n <= 55000:
         return "brute"  # the Pallas kernel is TPU-only
-    return "brute-pallas" if n <= 95000 else "bh"
+    return "brute-pallas" if n <= 55000 else "bh"
 
 
 class Simulation:

@@ -44,6 +44,24 @@ CASES = [
      dict(multipole="mono", block_dual=True, dual_margin=1.2)),
     ("mono_524k_dual", 1 << 19, dict(multipole="mono", block_dual=True)),
     ("mono_2m_dual", 1 << 21, dict(multipole="mono", block_dual=True)),
+    # round-3b: margin escalation + window growth.  Rationale: the pair
+    # kernel's slab is window + near rows (far nodes ride the quad kernel),
+    # so dual's win is capped by how much of that EXACT work it may
+    # approximate (margin) and how much of the near residual can be folded
+    # into window rows that dual then skips (bigger window = fewer
+    # irregular near gathers, distant window tiles dual-accepted).
+    ("quad_1m_dual_m16", 1 << 20, dict(block_dual=True, dual_margin=1.6)),
+    ("quad_1m_dual_m20", 1 << 20, dict(block_dual=True, dual_margin=2.0)),
+    ("mono_1m_dual_m16", 1 << 20,
+     dict(multipole="mono", block_dual=True, dual_margin=1.6)),
+    ("quad_1m_w4096_base", 1 << 20, dict(window_pad=4096)),
+    ("quad_1m_dual_w4096", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, window_pad=4096)),
+    ("quad_1m_dual_w4096_n4096", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, window_pad=4096,
+          near_particle_cap=4096)),
+    ("quad_1m_dual_n4096", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=4096)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
