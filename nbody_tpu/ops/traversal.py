@@ -48,7 +48,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from nbody_tpu.ops.tree import LinearOctree, build_octree, level_offset
+from nbody_tpu.ops.tree import (
+    LinearOctree,
+    build_octree,
+    decode_ranges,
+    level_offset,
+    wide_ranges,
+)
 
 
 @dataclass(frozen=True)
@@ -152,6 +158,15 @@ class BHConfig:
     # Separate knob because dual approximates work that was previously
     # EXACT — tightening it buys back accuracy without touching the
     # tree walk's acceptance.
+    wide: bool = False  # N >= 2^24 row format (domain path only): node
+    # tables use the hi/lo range encoding (ops/tree.py decode_ranges),
+    # fallback-cell containment switches from particle-index compare to the
+    # exact (level, cell-id) Morton-prefix test against target leaf codes,
+    # and the XLA pair path drops its f32 index self-exclusion compare
+    # (matching the production Pallas kernel, which is maskless: self-pairs
+    # contribute zero force through d = 0, and the r² <= 0 guard covers the
+    # unsoftened coincident case).  Set by parallel/domain.py via
+    # tree.wide_ranges(n_total, dtype); not a user knob.
     frontier_schedule: tuple = None  # per-level frontier slot counts for
     # levels start_level+1..max_level; None = auto (grows toward
     # frontier_cap at the leaf).  Opening is heavily bottom-weighted
@@ -252,7 +267,9 @@ def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center=None):
         )
     dd = ppos[None, :, :] - gpos[:, None, :]  # [B, P, 3]
     r2 = jnp.sum(dd * dd, axis=-1) + g_soft * g_soft
-    skip = (pidx[None, :] == gidx[:, None]) | (r2 <= 0.0) | ~pvalid[None, :]
+    skip = (r2 <= 0.0) | ~pvalid[None, :]
+    if gidx is not None:
+        skip = skip | (pidx[None, :] == gidx[:, None])
     inv_r = jax.lax.rsqrt(jnp.where(skip, 1.0, r2))
     s = jnp.where(skip, 0.0, inv_r * inv_r * inv_r * pm[None, :])
     return g * jnp.einsum(
@@ -291,7 +308,8 @@ def _pair_block_mxu(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center):
     return g * acc
 
 
-def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
+def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None,
+             tcell=None, dim=3, max_level=0):
     """Self-excluded acceleration from the overflow-fallback slab.
 
     ``fb`` rows are raw packed node rows (mass M, mass-weighted sums S,
@@ -308,13 +326,16 @@ def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
     moments get the same exact subtraction (S2' = S2 - m_i p_i p_iᵀ) and the
     cell contributes its full self-excluded quadrupole — budget overflow
     then costs one multipole ORDER (hexadecapole), not two.  Empty slots
-    (M = 0) and self-only cells (M' = 0) contribute nothing."""
+    (M = 0) and self-only cells (M' = 0) contribute nothing.
+
+    ``tcell`` (wide mode, BHConfig.wide): target leaf-cell Morton codes
+    [B].  Containment then uses the exact equivalent Morton-prefix test
+    (target's leaf code right-shifted to the fb row's level equals its cell
+    id) instead of cs <= ti < ce — the wide row format stores ranges hi/lo
+    split, and raw f32 range compares would be inexact past 2^24 anyway."""
     M = fb[:, 0]  # [F]
     S = fb[:, 1:4]  # [F, 3]
-    cs = fb[:, 4]
-    ce = fb[:, 5]
-    ti = gidx.astype(gpos.dtype)[:, None]  # exact ints (< 2^24, tree guard)
-    inside = (cs[None, :] <= ti) & (ti < ce[None, :])  # [B, F]
+    inside = _fb_inside(fb, gidx, gpos.dtype, tcell, dim, max_level)
     mi = jnp.where(inside, gmass[:, None], 0.0)  # [B, F]
     m_eff = M[None, :] - mi
     valid = m_eff > 0.0
@@ -379,17 +400,32 @@ def _fb_eval(gpos, gidx, gmass, fb, g, g_soft, all_quad=None, goffs=None):
     return g * acc
 
 
-def _fb_phi(gpos, gidx, gmass, fb, g, g_soft):
+def _fb_inside(fb, gidx, dtype, tcell=None, dim=3, max_level=0):
+    """[B, F] "fb cell contains target" mask.  Narrow: the contiguous
+    sorted-range compare cs <= sorted_idx < ce (cols 4/5; exact f32 ints by
+    the tree guard).  Wide (tcell given): the equivalent Morton-prefix test
+    on (level, cell id) from cols 6/7 — exact at any N.  Empty fb slots
+    decode to (level 0, cell 0) = the root, which contains everything;
+    their M = 0 row is masked by the caller's m_eff/valid guard either
+    way."""
+    if tcell is None:
+        ti = gidx.astype(dtype)[:, None]  # exact ints (< 2^24, tree guard)
+        return (fb[None, :, 4] <= ti) & (ti < fb[None, :, 5])
+    lvl = fb[:, 6].astype(jnp.int32)
+    cid = fb[:, 7].astype(jnp.int32)
+    shift = dim * jnp.maximum(max_level - lvl, 0)  # fb-spill lvl=-1 safe
+    return (tcell[:, None] >> shift[None, :]) == cid[None, :]
+
+
+def _fb_phi(gpos, gidx, gmass, fb, g, g_soft, tcell=None, dim=3,
+            max_level=0):
     """Self-excluded POTENTIAL from the overflow-fallback slab — the φ
     analog of _fb_eval's monopole branch: φ_i += -G M' / sqrt(|com'-p|²+ε²)
     with the target's own mass removed in closed form (M' = M - m_i,
     com' = (S - m_i p_i)/M')."""
     M = fb[:, 0]
     S = fb[:, 1:4]
-    cs = fb[:, 4]
-    ce = fb[:, 5]
-    ti = gidx.astype(gpos.dtype)[:, None]
-    inside = (cs[None, :] <= ti) & (ti < ce[None, :])
+    inside = _fb_inside(fb, gidx, gpos.dtype, tcell, dim, max_level)
     mi = jnp.where(inside, gmass[:, None], 0.0)
     m_eff = M[None, :] - mi
     valid = m_eff > 0.0
@@ -572,6 +608,7 @@ def _group_collect(
     gpos,
     gmass,
     gidx,
+    gcode=None,
     local_bounds=None,
     phi: bool = False,
 ):
@@ -649,8 +686,7 @@ def _group_collect(
         row = row.at[:, 0].set(m)  # masked rows carry zero mass downstream
         occupied = m > 0
         com = row[:, 1:4] / jnp.where(occupied, m, 1.0)[:, None]
-        cs = row[:, 4].astype(jnp.int32)
-        ce = row[:, 5].astype(jnp.int32)
+        cs, ce = decode_ranges(row, cfg.wide)
 
         # cells wholly inside the window: handled exactly by the window pass
         covered = occupied & (cs >= wstart) & (ce <= wend)
@@ -761,24 +797,30 @@ def _group_collect(
 
     wmask = jnp.cumsum(delta)[:W] > 0
 
-    # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval)
+    # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval).
+    # Wide mode containment needs the targets' leaf codes (gcode).
+    if cfg.wide and gcode is None:
+        raise ValueError("BHConfig.wide requires target leaf codes (gcode)")
+    fbk = dict(tcell=gcode if cfg.wide else None, dim=cfg.dim, max_level=L)
     if phi:
-        acc_fb = _fb_phi(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
+        acc_fb = _fb_phi(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
+                         **fbk)
     elif cfg.multipole == "quad" and cfg.fb_quad:
         goffs = jnp.array(
             [level_offset(lv, branch) for lv in range(L + 1)], jnp.int32
         )
         acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
-                          tree.all_quad, goffs)
+                          tree.all_quad, goffs, **fbk)
     else:
-        acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft)
+        acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
+                          **fbk)
 
     stats = (a_dropped, f_fallback, n_fallback, fb_spill)
     return (mono[: cfg.accept_cap], near_ids, near_valid, far_ids, far_valid,
             wmask, wstart, center, acc_fb, stats)
 
 
-def _expand_ranges(leaf_table, cell_ids, cell_valid, cap):
+def _expand_ranges(leaf_table, cell_ids, cell_valid, cap, wide=False):
     """Expand leaf-cell particle ranges into padded flat index lists for
     ALL groups at once (called after the chunked walk).  Slot k belongs to
     the c-th cell, c = #offs <= k — one scatter + row cumsum instead of a
@@ -790,8 +832,7 @@ def _expand_ranges(leaf_table, cell_ids, cell_valid, cap):
     (pidx [G, cap], pvalid [G, cap], total [G])."""
     G, C = cell_ids.shape
     nrow = leaf_table[cell_ids]  # shared-table row gather (fast path)
-    nstart = nrow[..., 4].astype(jnp.int32)
-    nend = nrow[..., 5].astype(jnp.int32)
+    nstart, nend = decode_ranges(nrow, wide)
     counts = jnp.where(cell_valid, nend - nstart, 0).astype(jnp.int32)
     offs = jnp.cumsum(counts, axis=1)
     total = offs[:, -1]
@@ -1077,10 +1118,22 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
         sl_c, t8_c, ct_c, mk_c = args
 
         def one(sl, t8, ct, mk):
+            # wide mode: f32 idx columns are inexact past 2^24 — drop the
+            # index compare like the (maskless) Pallas kernel: self-pairs
+            # contribute zero force via d = 0, r² <= 0 guards the
+            # unsoftened coincident case.  That exact-zero property needs
+            # the d-form evaluation (s·d with d = 0): under the norm-trick
+            # MXU form the un-skipped self-term m_i/ε³ rides two large
+            # cancelling partial sums, which for a heavy particle (e.g. a
+            # central body) leaves rounding residue ~1e-2 — so wide also
+            # forces center=None below.
+            tgi = None if cfg.wide else t8[:, 4].astype(jnp.int32)
+            sli = None if cfg.wide else sl[:, 4].astype(jnp.int32)
+            ct = None if cfg.wide else ct
             if mk is None:
                 return _pair_block(
-                    t8[:, :3], t8[:, 4].astype(jnp.int32), sl[:, :3],
-                    sl[:, 3], sl[:, 4].astype(jnp.int32), sl[:, 3] != 0.0,
+                    t8[:, :3], tgi, sl[:, :3],
+                    sl[:, 3], sli, sl[:, 3] != 0.0,
                     g, g_soft, ct if cfg.mxu_blocks else None,
                 )
             # masked tile pairs: zero the source masses per TARGET TILE
@@ -1092,8 +1145,9 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
             def tile_eval(t8_t, keep_t):
                 m_t = sl[:, 3] * keep_t
                 return _pair_block(
-                    t8_t[:, :3], t8_t[:, 4].astype(jnp.int32), sl[:, :3],
-                    m_t, sl[:, 4].astype(jnp.int32), m_t != 0.0,
+                    t8_t[:, :3],
+                    None if cfg.wide else t8_t[:, 4].astype(jnp.int32),
+                    sl[:, :3], m_t, sli, m_t != 0.0,
                     g, g_soft, ct if cfg.mxu_blocks else None,
                 )
 

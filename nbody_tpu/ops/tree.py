@@ -235,11 +235,44 @@ def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
     return vals[:, 0], vals[:, 1:4]
 
 
-def _check_range_dtype(n: int, ftype) -> None:
+#: Beyond this N, f32 node-table range columns lose integer exactness; the
+#: domain-decomposed build switches to the WIDE row format (ranges split
+#: hi/lo over two f32 columns each — exact to 2^31).  Module-level so tests
+#: can lower it and exercise the wide path at small N.
+WIDE_N = 1 << 24
+_RANGE_SHIFT = 12  # wide split: v = hi * 2^12 + lo; hi < 2^19, lo < 2^12
+
+
+def wide_ranges(n: int, ftype) -> bool:
+    """Whether node tables for ``n`` total particles must use the WIDE
+    range encoding.  Static (trace-time) — both the table builder and every
+    range consumer must consult this same predicate.  f64 tables hold exact
+    integers to 2^53, so only f32 ever goes wide."""
+    return ftype == jnp.float32 and n >= WIDE_N
+
+
+def decode_ranges(row, wide: bool):
+    """(range_start, range_end) int32 from packed node-table rows
+    [..., 8].  Narrow: cols 4/5 hold the values directly (exact ints by the
+    _check_range_dtype guard).  Wide: cols 4-7 hold (start_hi, start_lo,
+    end_hi, end_lo) with v = hi * 2^12 + lo — every component < 2^19 so the
+    f32 row stays exact to N = 2^31."""
+    if not wide:
+        return row[..., 4].astype(jnp.int32), row[..., 5].astype(jnp.int32)
+    cs = (row[..., 4].astype(jnp.int32) << _RANGE_SHIFT) | \
+        row[..., 5].astype(jnp.int32)
+    ce = (row[..., 6].astype(jnp.int32) << _RANGE_SHIFT) | \
+        row[..., 7].astype(jnp.int32)
+    return cs, ce
+
+
+def _check_range_dtype(n: int, ftype, wide: bool = False) -> None:
     """Packed node rows store particle-range starts/ends in the position
     dtype; counts beyond the mantissa (2^24 in f32, 2^53 in f64) would
-    silently corrupt traversal ranges — fail loudly instead."""
-    limit = 1 << (53 if ftype == jnp.float64 else 24)
+    silently corrupt traversal ranges — fail loudly instead.  The wide
+    encoding (domain-decomposed builds, see wide_ranges) extends the f32
+    ceiling to 2^31 (the int32 index arithmetic limit)."""
+    limit = 1 << (53 if ftype == jnp.float64 else (31 if wide else 24))
     assert n < limit, (
         f"N={n} exceeds the exact-integer range of {jnp.dtype(ftype).name} "
         "node tables; use float64 (jax_enable_x64) for N >= 2^24"
@@ -247,13 +280,18 @@ def _check_range_dtype(n: int, ftype) -> None:
 
 
 def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
-                    branch: int, ftype):
+                    branch: int, ftype, wide: bool = False):
     """Aggregate leaf-cell statistics up the dense pyramid and pack the
     per-level node tables (shared by the single-chip and sharded builds).
+    ``wide`` selects the hi/lo range encoding (see decode_ranges) — the
+    domain-decomposed build sets it for N >= WIDE_N.
 
     Returns (level_mass, level_mpos, level_table, leaf_starts)."""
+    # cast BEFORE the cumsum: f32 partial sums lose integer exactness past
+    # 2^24 (the whole point of the wide path)
     leaf_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(leaf_counts).astype(jnp.int32)]
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(leaf_counts.astype(jnp.int32))]
     )
 
     level_mass = [leaf_mass]
@@ -272,12 +310,23 @@ def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
     level_counts.reverse()
 
     level_table = []
+    mask = (1 << _RANGE_SHIFT) - 1
     for l in range(max_level + 1):
         c = branch ** l
         cnt = level_counts[l]
-        ends = jnp.cumsum(cnt).astype(ftype)
-        starts = ends - cnt.astype(ftype)
-        zero = jnp.zeros((c,), ftype)
+        ends_i = jnp.cumsum(cnt.astype(jnp.int32))
+        starts_i = ends_i - cnt.astype(jnp.int32)
+        if wide:
+            range_cols = [
+                (starts_i >> _RANGE_SHIFT).astype(ftype),
+                (starts_i & mask).astype(ftype),
+                (ends_i >> _RANGE_SHIFT).astype(ftype),
+                (ends_i & mask).astype(ftype),
+            ]
+        else:
+            zero = jnp.zeros((c,), ftype)
+            range_cols = [starts_i.astype(ftype), ends_i.astype(ftype),
+                          zero, zero]
         level_table.append(
             jnp.stack(
                 [
@@ -285,10 +334,7 @@ def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
                     level_mpos[l][:, 0].astype(ftype),
                     level_mpos[l][:, 1].astype(ftype),
                     level_mpos[l][:, 2].astype(ftype),
-                    starts,
-                    ends,
-                    zero,
-                    zero,
+                    *range_cols,
                 ],
                 axis=1,
             )

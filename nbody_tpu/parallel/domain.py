@@ -56,6 +56,7 @@ from nbody_tpu.ops.tree import (
     _quad_pyramid,
     grid_bounds,
     level_offset,
+    wide_ranges,
 )
 from nbody_tpu.ops.traversal import (
     BHConfig,
@@ -133,7 +134,14 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     statistics differ only by psum association order."""
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
-    _check_range_dtype(n_tot, pos_loc.dtype)
+    wide = wide_ranges(n_tot, pos_loc.dtype)
+    _check_range_dtype(n_tot, pos_loc.dtype, wide=wide)
+    if wide and dim * max_level > 24:
+        # leaf codes ride an f32 row column — must stay exact ints
+        raise ValueError(
+            f"wide mode leaf codes need dim*max_level <= 24, got "
+            f"{dim}*{max_level}"
+        )
     assert halo <= n_loc, (halo, n_loc)
     branch = 1 << dim
     n_leaf = branch ** max_level
@@ -181,11 +189,20 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
          + (j - local_start[code_s])).astype(jnp.int32)
 
     # 3. route rows to their sorted owners (orig/code as exact f32 ints —
-    #    guarded by _check_range_dtype; 8^8 == 2^24 is still exact)
+    #    guarded by _check_range_dtype; 8^8 == 2^24 is still exact).
+    #    Wide mode (N >= 2^24): the original index goes (chip, slot)-split
+    #    across cols 6/4 — each component < 2^24 per chip — and the idx
+    #    column's self-exclusion job is retired (see BHConfig.wide).
     zero = jnp.zeros((n_loc,), ftype)
+    if wide:
+        idx_col = (orig_s % n_loc).astype(ftype)
+        chip_col = (orig_s // n_loc).astype(ftype)
+    else:
+        idx_col = orig_s.astype(ftype)
+        chip_col = zero
     rows = jnp.stack(
-        [xs, ys, zs, ms, orig_s.astype(ftype), code_s.astype(ftype),
-         zero, zero], axis=1,
+        [xs, ys, zs, ms, idx_col, code_s.astype(ftype),
+         chip_col, zero], axis=1,
     )
     rows_s = _ring_route(rows, p, axis, n_dev)  # [n_loc, 8] my sorted slice
 
@@ -206,7 +223,8 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
 
     _, _, level_table, _ = _pyramid_tables(
-        leaf_mass, leaf_mpos, leaf_counts, max_level, branch, ftype
+        leaf_mass, leaf_mpos, leaf_counts, max_level, branch, ftype,
+        wide=wide,
     )
 
     all_quad = None
@@ -227,9 +245,14 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     from_left = jnp.where(my == 0, 0.0, from_left)
     from_right = jnp.where(my == n_dev - 1, 0.0, from_right)
     ext = jnp.concatenate([from_left, rows_s, from_right], axis=0)
-    ext_idx = (my * n_loc - halo
-               + jnp.arange(n_loc + 2 * halo, dtype=jnp.int32))
-    ext8 = ext.at[:, 4].set(ext_idx.astype(ftype))
+    if wide:
+        # idx column retired (maskless exclusion; see BHConfig.wide) —
+        # park a -1 sentinel that can never equal a target index
+        ext8 = ext.at[:, 4].set(-1.0)
+    else:
+        ext_idx = (my * n_loc - halo
+                   + jnp.arange(n_loc + 2 * halo, dtype=jnp.int32))
+        ext8 = ext.at[:, 4].set(ext_idx.astype(ftype))
 
     return DomainTree(rows_s=rows_s, ext8=ext8, level_table=level_table,
                       halo=halo, all_quad=all_quad)
@@ -247,6 +270,9 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     bounds = bounds.centered()
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
+    wide = wide_ranges(n_tot, pos_loc.dtype)
+    if wide and not cfg.wide:
+        cfg = dataclasses.replace(cfg, wide=True)
     B = cfg.group_size
     assert n_loc % B == 0, (n_loc, B)
     # clamp the walk/eval chunk width to the per-chip group count (auto
@@ -285,7 +311,11 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     )
 
     gidx_loc = my_start + jnp.arange(n_loc, dtype=jnp.int32)
-    tgt8 = tree.rows_s.at[:, 4].set(gidx_loc.astype(dtype))
+    # wide: target idx column retired (-2: never equals the source rows'
+    # -1 sentinel, so even a stray compare can't skip a real pair)
+    tgt8 = tree.rows_s.at[:, 4].set(
+        -2.0 if cfg.wide else gidx_loc.astype(dtype)
+    )
 
     # leaf cells inside [local_lo, local_hi) gather from the halo slab;
     # the rest (Morton-seam cells) go through the capped far collective
@@ -296,20 +326,23 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         local_bounds=(local_lo, local_hi),
     )
     vm_collect = jax.vmap(
-        lambda gp, gm, gi: collect(gp, gm, gi)
+        lambda gp, gm, gi, gc: collect(gp, gm, gi, gcode=gc)
     )
 
     G_my = n_loc // B
     n_chunks = G_my // CG
     ct8 = tgt8.reshape(n_chunks, CG, B, 8)
     ci = gidx_loc.reshape(n_chunks, CG, B)
+    # target leaf codes: wide-mode fb containment (Morton-prefix test);
+    # ignored (tcell=None) in narrow mode
+    cc = tree.rows_s[:, 5].astype(jnp.int32).reshape(n_chunks, CG, B)
 
     def chunk_body(args):
-        cp8, cidx = args
-        return vm_collect(cp8[..., :3], cp8[..., 3], cidx)
+        cp8, cidx, ccode = args
+        return vm_collect(cp8[..., :3], cp8[..., 3], cidx, ccode)
 
     (mono, near_ids, near_valid, far_ids, far_valid, wmask, wstart, center,
-     acc_fb, stats_t) = jax.lax.map(chunk_body, (ct8, ci))
+     acc_fb, stats_t) = jax.lax.map(chunk_body, (ct8, ci, cc))
     P = cfg.near_particle_cap
     Pf = cfg.far_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)
@@ -326,12 +359,14 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         near_ids.reshape(G_my, cfg.near_cell_cap),
         near_valid.reshape(G_my, cfg.near_cell_cap),
         P,
+        wide=cfg.wide,
     )
     pidx_f, pfvalid, ntot_far = _expand_ranges(
         leaf_table,
         far_ids.reshape(G_my, cfg.far_cell_cap),
         far_valid.reshape(G_my, cfg.far_cell_cap),
         Pf,
+        wide=cfg.wide,
     )
     ntot = ntot_near + ntot_far
 
@@ -350,9 +385,10 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     nrows = tree.ext8[jnp.clip(pidx - local_lo, 0, n_loc + 2 * halo - 1)]
     nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
     # the halo slab's idx column is already the global sorted index, but
-    # clip-clamped invalid slots must not alias a real source row
+    # clip-clamped invalid slots must not alias a real source row (wide:
+    # column is retired, keep the -1 sentinel everywhere)
     nrows = nrows.at[:, :, 4].set(
-        jnp.where(pvalid, pidx.astype(dtype), -1.0)
+        -1.0 if cfg.wide else jnp.where(pvalid, pidx.astype(dtype), -1.0)
     )
 
     # far near rows (Morton-seam cells): request/reply over the mesh —
@@ -361,8 +397,10 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     frows4 = _dist_gather(
         tree.rows_s[:, :4], pidx_f.reshape(-1), axis, n_dev
     ).reshape(G_my, Pf, 4)
+    fidx_col = (jnp.full_like(pidx_f, -1.0, dtype=dtype) if cfg.wide
+                else jnp.where(pfvalid, pidx_f.astype(dtype), -1.0))
     frows = jnp.concatenate(
-        [frows4, jnp.where(pfvalid, pidx_f.astype(dtype), -1.0)[..., None],
+        [frows4, fidx_col[..., None],
          jnp.zeros((G_my, Pf, 3), dtype)], axis=2,
     )
     frows = frows.at[:, :, 3].set(jnp.where(pfvalid, frows[:, :, 3], 0.0))
@@ -385,7 +423,11 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     acc_sorted = (acc_main + acc_fb).reshape(n_loc, 3)
 
     # ---- route forces back to original owners (no force all-gather) ----
-    orig_dest = tree.rows_s[:, 4].astype(jnp.int32)
+    if cfg.wide:  # (chip, slot) split: chip * n_loc + slot, exact to 2^31
+        orig_dest = (tree.rows_s[:, 6].astype(jnp.int32) * n_loc
+                     + tree.rows_s[:, 4].astype(jnp.int32))
+    else:
+        orig_dest = tree.rows_s[:, 4].astype(jnp.int32)
     acc4 = jnp.concatenate(
         [acc_sorted, jnp.zeros((n_loc, 1), dtype)], axis=1
     )

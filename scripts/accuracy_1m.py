@@ -57,6 +57,25 @@ CONFIGS = {
     "dual": dict(block_dual=True),
     "dual_m12": dict(block_dual=True, dual_margin=1.2),
     "dual_mono": dict(multipole="mono", block_dual=True),
+    # round 3c: the perf winner (4.83 steps/s) and its margin neighbor —
+    # the halved near cap pushes more rows to the multipole fallback, so
+    # accuracy must be re-gated before any default flip
+    "dual_n4096": dict(block_dual=True, dual_margin=1.2,
+                       near_particle_cap=4096),
+    "dual_n4096_m16": dict(block_dual=True, dual_margin=1.6,
+                           near_particle_cap=4096),
+    # the 5.29 steps/s winner (beats the VERDICT #1 target) + a stricter
+    # dual margin as accuracy insurance if n2048's fallback pressure
+    # (near_fallback 7121, fb_spill 2129) blows the p99 gate
+    "dual_n2048": dict(block_dual=True, dual_margin=1.2,
+                       near_particle_cap=2048),
+    "dual_n2048_m08": dict(block_dual=True, dual_margin=0.8,
+                           near_particle_cap=2048),
+    # no-dual cap-reduction controls: quad_1m_n4096_base showed the cap
+    # cut ALONE is +16% — if its accuracy holds, the default near cap
+    # moves regardless of the dual decision
+    "n4096_nodual": dict(near_particle_cap=4096),
+    "n2048_nodual": dict(near_particle_cap=2048),
 }
 
 

@@ -62,6 +62,31 @@ CASES = [
           near_particle_cap=4096)),
     ("quad_1m_dual_n4096", 1 << 20,
      dict(block_dual=True, dual_margin=1.2, near_particle_cap=4096)),
+    # round-3c: the n4096 winner needs its no-dual CONTROL (is the win
+    # dual-skip absorbing the smaller cap's residual, or just the cap?),
+    # plus neighbors of the winning point.
+    ("quad_1m_n4096_base", 1 << 20, dict(near_particle_cap=4096)),
+    ("quad_1m_dual_n2048", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
+    ("quad_1m_dual_n4096_m16", 1 << 20,
+     dict(block_dual=True, dual_margin=1.6, near_particle_cap=4096)),
+    ("mono_1m_dual_n4096", 1 << 20,
+     dict(multipole="mono", block_dual=True, dual_margin=1.2,
+          near_particle_cap=4096)),
+    ("quad_524k_dual_n4096", 1 << 19,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=4096)),
+    ("quad_2m_dual_n4096", 1 << 21,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=4096)),
+    # round-3d: follow the cap-reduction trend past the n2048 winner and
+    # check it scales
+    ("quad_1m_dual_c1024", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=1024)),
+    ("quad_524k_dual_c2048", 1 << 19,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
+    ("quad_2m_dual_c2048", 1 << 21,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
+    ("quad_131k_dual_c2048", 1 << 17,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),

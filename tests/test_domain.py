@@ -239,3 +239,137 @@ def test_sharded_simulation_bh_domain_end_to_end():
     p1, _, _, _ = single.get_points()
     assert sharded.n_alive == single.n_alive
     np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
+
+
+def test_wide_decode_roundtrip():
+    """Wide hi/lo range encoding is exact for starts/ends up to 2^31."""
+    from nbody_tpu.ops import tree as tree_mod
+
+    counts = jnp.asarray(
+        [0, 3, (1 << 24) + 5, 7, (1 << 26) - 1, 0, 2, 1], jnp.int32
+    )
+    leaf_mpos = jnp.zeros((8, 3), jnp.float32)
+    # counts ride in as int32 (exactly how the domain build passes them —
+    # an f32 cast here would corrupt the >2^24 values before the builder)
+    _, _, tables, _ = tree_mod._pyramid_tables(
+        counts.astype(jnp.float32), leaf_mpos,
+        counts, 1, 8, jnp.float32, wide=True,
+    )
+    ends = np.cumsum(np.asarray(counts, np.int64))
+    starts = ends - np.asarray(counts, np.int64)
+    cs, ce = tree_mod.decode_ranges(tables[1], True)
+    np.testing.assert_array_equal(np.asarray(cs, np.int64), starts)
+    np.testing.assert_array_equal(np.asarray(ce, np.int64), ends)
+    # narrow tables at the same small values agree with the wide decode
+    _, _, tnarrow, _ = tree_mod._pyramid_tables(
+        jnp.asarray([1, 2, 3, 4, 0, 0, 5, 6], jnp.float32),
+        leaf_mpos, jnp.asarray([1, 2, 3, 4, 0, 0, 5, 6], jnp.float32),
+        1, 8, jnp.float32, wide=False,
+    )
+    _, _, twide, _ = tree_mod._pyramid_tables(
+        jnp.asarray([1, 2, 3, 4, 0, 0, 5, 6], jnp.float32),
+        leaf_mpos, jnp.asarray([1, 2, 3, 4, 0, 0, 5, 6], jnp.float32),
+        1, 8, jnp.float32, wide=True,
+    )
+    for lvl in range(2):
+        ncs, nce = tree_mod.decode_ranges(tnarrow[lvl], False)
+        wcs, wce = tree_mod.decode_ranges(twide[lvl], True)
+        np.testing.assert_array_equal(np.asarray(ncs), np.asarray(wcs))
+        np.testing.assert_array_equal(np.asarray(nce), np.asarray(wce))
+
+
+def test_domain_accel_wide_matches_narrow(monkeypatch):
+    """Forced-on wide row format (N >= 2^24 path) at small N: the hi/lo
+    range encoding, Morton-prefix fb containment, retired idx columns and
+    (chip, slot) return routing must reproduce the narrow f32 result.
+
+    mxu_blocks is pinned off so both sides run the d-form XLA eval:
+    the dropped index compare is then exactly free (self-pairs contribute
+    0 through d = 0) and the comparison is ulp-tight.  (Wide mode forces
+    the d-form regardless — see _slab_eval — because the norm-trick form's
+    un-skipped self-term cancellation is unbounded for heavy particles.)"""
+    from nbody_tpu.ops import tree as tree_mod
+
+    n, capacity = 700, 2048
+    cfg = BHConfig(max_level=4, group_size=128, subgroups=8, window_pad=32,
+                   accept_cap=1024, near_cell_cap=512, near_particle_cap=512,
+                   far_particle_cap=256, far_cell_cap=128,
+                   start_level=1, chunk_groups=1, fb_cap=64,
+                   mxu_blocks=False)
+    pos, vel, mass = self_gravitating_disc(n, seed=1)
+    state = ParticleState.create(pos, vel, mass, capacity=capacity,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    m = state.effective_mass()
+    mesh = make_mesh(NDEV)
+
+    def run():
+        def body(p_loc, m_loc):
+            acc, stats = domain_accel(
+                p_loc, m_loc, params.bounds, params.theta2,
+                params.g, params.g_soft, cfg, AXIS, NDEV)
+            return acc, jax.lax.psum(
+                stats["near_fallback"] + stats["fb_spill"]
+                + stats["frontier_fallback"], AXIS)
+        sm = jax.shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()), check_vma=False,
+        )
+        return jax.jit(sm)(state.pos, m)
+
+    acc_narrow, fb_narrow = run()
+    assert not tree_mod.wide_ranges(capacity, jnp.float32)
+    monkeypatch.setattr(tree_mod, "WIDE_N", 1)
+    acc_wide, fb_wide = run()
+    assert tree_mod.wide_ranges(capacity, jnp.float32)
+
+    assert int(fb_narrow) == int(fb_wide)
+    alive = np.asarray(m) > 0
+    a_n, a_w = np.asarray(acc_narrow)[alive], np.asarray(acc_wide)[alive]
+    scale = np.abs(a_n).max()
+    np.testing.assert_allclose(a_w, a_n, rtol=1e-6, atol=1e-6 * scale)
+
+
+def test_domain_accel_wide_with_fallback_pressure(monkeypatch):
+    """Wide mode under budget overflow: the Morton-prefix containment must
+    self-exclude exactly where the narrow index-range compare did, so the
+    fallback (fb slab) forces agree too.  Tiny caps force fb traffic."""
+    from nbody_tpu.ops import tree as tree_mod
+
+    n, capacity = 700, 2048
+    cfg = BHConfig(max_level=4, group_size=128, subgroups=8, window_pad=32,
+                   accept_cap=64, near_cell_cap=16, near_particle_cap=64,
+                   far_particle_cap=64, far_cell_cap=16,
+                   start_level=1, chunk_groups=1, fb_cap=256,
+                   mxu_blocks=False)
+    pos, vel, mass = self_gravitating_disc(n, seed=2)
+    state = ParticleState.create(pos, vel, mass, capacity=capacity,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    m = state.effective_mass()
+    mesh = make_mesh(NDEV)
+
+    def run():
+        def body(p_loc, m_loc):
+            acc, stats = domain_accel(
+                p_loc, m_loc, params.bounds, params.theta2,
+                params.g, params.g_soft, cfg, AXIS, NDEV)
+            return acc, jax.lax.psum(stats["near_fallback"], AXIS)
+        sm = jax.shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()), check_vma=False,
+        )
+        return jax.jit(sm)(state.pos, m)
+
+    acc_narrow, nf_narrow = run()
+    assert int(nf_narrow) > 0  # the tiny caps actually bite
+    monkeypatch.setattr(tree_mod, "WIDE_N", 1)
+    acc_wide, nf_wide = run()
+
+    assert int(nf_narrow) == int(nf_wide)
+    alive = np.asarray(m) > 0
+    a_n, a_w = np.asarray(acc_narrow)[alive], np.asarray(acc_wide)[alive]
+    scale = np.abs(a_n).max()
+    np.testing.assert_allclose(a_w, a_n, rtol=1e-6, atol=1e-6 * scale)
