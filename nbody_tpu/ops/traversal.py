@@ -220,9 +220,20 @@ class BHConfig:
         if n <= 32768:
             base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
-            base = dict(group_size=4096, subgroups=64)
+            # block_dual measured accuracy-FREE (accuracy_1m.jsonl round-3
+            # rows: dual_* p99 == no-dual p99 to 3 digits at every probed
+            # config) and +3.6% at 131k (dual_r3.jsonl quad_131k_dual)
+            base = dict(group_size=4096, subgroups=64, block_dual=True,
+                        dual_margin=1.2)
         else:
-            base = dict(group_size=8192, subgroups=128)
+            # round-3 sweep (dual_r3.jsonl): near cap 8192 -> 2048 plus
+            # block-dual = 4.006 -> 5.287 steps/s @1M (+32%), 2.1 -> 2.48
+            # @2M, with p99 force error 3.06e-2 vs 3.01e-2 baseline
+            # (accuracy_1m.jsonl dual_n2048) — the extra near-fallback
+            # cells (7121 @1M) get exact self-excluded multipoles, which
+            # is why the cap cut is nearly free (VALIDATION.md §7)
+            base = dict(group_size=8192, subgroups=128, block_dual=True,
+                        dual_margin=1.2, near_particle_cap=2048)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

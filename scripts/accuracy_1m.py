@@ -76,6 +76,11 @@ CONFIGS = {
     # moves regardless of the dual decision
     "n4096_nodual": dict(near_particle_cap=4096),
     "n2048_nodual": dict(near_particle_cap=2048),
+    # round 3d: the cap-cut trend kept paying (c1024 @1M = 5.517 steps/s)
+    "dual_n1024": dict(block_dual=True, dual_margin=1.2,
+                       near_particle_cap=1024),
+    "dual_n512": dict(block_dual=True, dual_margin=1.2,
+                      near_particle_cap=512),
 }
 
 

@@ -87,6 +87,13 @@ CASES = [
      dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
     ("quad_131k_dual_c2048", 1 << 17,
      dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
+    ("quad_4m_dual_c2048", 1 << 22,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=2048)),
+    # c1024 @1M hit 5.517 — probe the floor of the cap-reduction trend
+    ("quad_1m_dual_x512", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=512)),
+    ("quad_1m_dual_x256", 1 << 20,
+     dict(block_dual=True, dual_margin=1.2, near_particle_cap=256)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),

@@ -209,9 +209,13 @@ def test_domain_accel_realistic_64k():
     With zero fallbacks both paths are exact direct sums + identical
     theta walks, so f64 agreement is reduction-order tight."""
     n = 65536
+    # block_dual pinned OFF: the domain path evaluates its slab exactly
+    # (ignores the flag), so the round-3 dual default on the single-chip
+    # side would compare an approximated far field against an exact one
     cfg = BHConfig.auto_for(n, max_level=6,
                             near_particle_cap=16384, near_cell_cap=4096,
-                            far_particle_cap=8192, far_cell_cap=2048)
+                            far_particle_cap=8192, far_cell_cap=2048,
+                            block_dual=False)
     _domain_vs_single(n - 1, n, cfg, dtype=jnp.float64, seed=0,
                       rtol=1e-9, atol=1e-12, check_no_fallback=True)
 
