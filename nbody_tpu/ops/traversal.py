@@ -150,9 +150,10 @@ class BHConfig:
     # self-overlapping acceptance impossible at any theta: a tile
     # containing one of the targets overlaps the target tile's box, so
     # d = 0 and the test fails.  Active in traverse_tree (single-chip and
-    # the sharded bh-replicated path); the domain-decomposed path
-    # (parallel/domain.py) evaluates its slab exactly and ignores this
-    # flag for now.
+    # the sharded bh-replicated path) AND the domain-decomposed path
+    # (parallel/domain.py) — both share _dual_slab_eval; tile boundaries
+    # differ between the two slab layouts, so they agree to accuracy, not
+    # bitwise.
     dual_margin: float = 0.8  # multiplies theta² in the block-dual
     # acceptance (same convention as accept_margin; < 1 = stricter).
     # Separate knob because dual approximates work that was previously
@@ -1091,6 +1092,32 @@ def _dual_prepare(slab, tgt8, theta2, cfg: BHConfig, tile: int):
     return accept, q.reshape(G * bt, 128, 16), jnp.sum(accept)
 
 
+def _dual_slab_eval(slab, tgt8, center, theta2, g, g_soft, cfg: BHConfig):
+    """``_slab_eval`` with the block-dual far field folded in: pad the slab
+    to the eval tile, compute per-(target-tile, source-tile) acceptance
+    (_dual_prepare), run the masked pair kernel, and add the accepted
+    tiles' central-quadrupole contributions.  The shared entry for the
+    single-chip walk (traverse_tree) and the domain-decomposed path
+    (parallel/domain.py).  Returns (acc [G, B, 3], n_dual scalar)."""
+    G, B, _ = tgt8.shape
+    dtype = slab.dtype
+    if not cfg.block_dual:
+        return _slab_eval(slab, tgt8, center, g, g_soft, cfg), jnp.int32(0)
+    tile = _fit_eval_tile(cfg.eval_tile, slab.shape[1])
+    s_pad = (-slab.shape[1]) % tile
+    if s_pad:
+        slab = jnp.concatenate(
+            [slab, jnp.zeros((G, s_pad, 8), dtype)], axis=1
+        )
+    dmask, dqrows, n_dual = _dual_prepare(slab, tgt8, theta2, cfg, tile)
+    acc = _slab_eval(slab, tgt8, center, g, g_soft, cfg, mask=dmask)
+    bt = dmask.shape[1]
+    acc = acc + _quad_eval(
+        dqrows, tgt8.reshape(G * bt, B // bt, 8), g, g_soft, cfg
+    ).reshape(G, B, 3)
+    return acc, n_dual
+
+
 def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
     """One fused interaction pass: every group's targets vs its assembled
     source slab.  Backend by ``cfg.eval_mode``: the Pallas group-force
@@ -1284,28 +1311,12 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     else:
         slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
 
-    dmask = None
-    n_dual = jnp.int32(0)
-    if cfg.block_dual:
-        # dual-tree far field over the eval grid: pre-pad the slab to the
-        # eval tile so mask tile indices line up, compute per-(target-tile,
-        # source-tile) acceptance, and evaluate accepted pairs as the
-        # source tile's central quadrupole instead of B x TILE pair work
-        tile = _fit_eval_tile(cfg.eval_tile, slab.shape[1])
-        s_pad = (-slab.shape[1]) % tile
-        if s_pad:
-            slab = jnp.concatenate(
-                [slab, jnp.zeros((G_my, s_pad, 8), dtype)], axis=1
-            )
-        dmask, dqrows, n_dual = _dual_prepare(slab, tgt8, theta2, cfg, tile)
-
-    acc_main = _slab_eval(slab, tgt8, center, g, g_soft, cfg, mask=dmask)
-
-    if cfg.block_dual:
-        bt = dmask.shape[1]
-        acc_main = acc_main + _quad_eval(
-            dqrows, tgt8.reshape(G_my * bt, B // bt, 8), g, g_soft, cfg
-        ).reshape(G_my, B, 3)
+    # dual-tree far field over the eval grid (when cfg.block_dual): accepted
+    # (target-tile, source-tile) pairs skip the pair kernel and ride the
+    # source tile's central quadrupole (_dual_prepare / _dual_slab_eval)
+    acc_main, n_dual = _dual_slab_eval(
+        slab, tgt8, center, theta2, g, g_soft, cfg
+    )
 
     if cfg.multipole == "quad":
         goffs = jnp.array(

@@ -60,11 +60,11 @@ from nbody_tpu.ops.tree import (
 )
 from nbody_tpu.ops.traversal import (
     BHConfig,
+    _dual_slab_eval,
     _expand_ranges,
     _group_collect,
     _quad_eval,
     _quad_slab,
-    _slab_eval,
     fit_chunks,
 )
 
@@ -408,6 +408,17 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     t8 = tgt8.reshape(G_my, B, 8)
     if cfg.multipole == "quad":
         slab = jnp.concatenate([wrows, nrows, frows], axis=1)
+    else:
+        slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
+    # block-dual far field (round 3): same per-(target-tile, source-tile)
+    # acceptance + masked pair kernel as the single-chip walk.  Tile
+    # boundaries fall differently here (the slab carries the far rows), so
+    # domain+dual is numerically close to — not bit-equal with — the
+    # single-chip dual path; equivalence tests pin block_dual=False.
+    acc_main, n_dual = _dual_slab_eval(
+        slab, t8, center, theta2, g, g_soft, cfg
+    )
+    if cfg.multipole == "quad":
         goffs = jnp.array(
             [level_offset(lv, 1 << cfg.dim)
              for lv in range(cfg.max_level + 1)],
@@ -415,11 +426,7 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         )
         qslab = _quad_slab(mono, tree.all_quad, goffs,
                            -1 if cfg.quad_leaf else cfg.max_level)
-        acc_main = (_slab_eval(slab, t8, center, g, g_soft, cfg)
-                    + _quad_eval(qslab, t8, g, g_soft, cfg))
-    else:
-        slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
-        acc_main = _slab_eval(slab, t8, center, g, g_soft, cfg)
+        acc_main = acc_main + _quad_eval(qslab, t8, g, g_soft, cfg)
     acc_sorted = (acc_main + acc_fb).reshape(n_loc, 3)
 
     # ---- route forces back to original owners (no force all-gather) ----
@@ -439,5 +446,6 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         "near_fallback": jnp.sum(ndrop),
         "fb_spill": jnp.sum(fbspill),
         "near_totals": ntot.reshape(-1),
+        "dual_tiles": n_dual,
     }
     return acc, stats

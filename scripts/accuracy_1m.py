@@ -81,6 +81,8 @@ CONFIGS = {
                        near_particle_cap=1024),
     "dual_n512": dict(block_dual=True, dual_margin=1.2,
                       near_particle_cap=512),
+    "dual_n256": dict(block_dual=True, dual_margin=1.2,
+                      near_particle_cap=256),
 }
 
 

@@ -34,6 +34,9 @@ CONFIGS = {
     # prospective: the large-N cap cut applied at mid N
     "mid_dual_c2048": dict(near_particle_cap=2048),
     "mid_dual_c4096": dict(near_particle_cap=4096),
+    # cap floor at mid N (the 1M gates stayed flat through cap 512)
+    "mid_dual_c1024": dict(near_particle_cap=1024),
+    "mid_dual_c512": dict(near_particle_cap=512),
 }
 
 

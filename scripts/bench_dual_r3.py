@@ -94,6 +94,14 @@ CASES = [
      dict(block_dual=True, dual_margin=1.2, near_particle_cap=512)),
     ("quad_1m_dual_x256", 1 << 20,
      dict(block_dual=True, dual_margin=1.2, near_particle_cap=256)),
+    # round-3e: scale-check the cap-512 floor across N + mid-preset cap cut
+    # (1M gates passed flat through cap 512 — accuracy_1m.jsonl dual_n512)
+    ("quad_524k_dual_x512", 1 << 19, dict(near_particle_cap=512)),
+    ("quad_2m_dual_x512", 1 << 21, dict(near_particle_cap=512)),
+    ("quad_4m_dual_x512", 1 << 22, dict(near_particle_cap=512)),
+    ("quad_131k_dual_c1024", 1 << 17, dict(near_particle_cap=1024)),
+    ("quad_131k_dual_c512", 1 << 17, dict(near_particle_cap=512)),
+    ("quad_1m_dual_x128", 1 << 20, dict(near_particle_cap=128)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),

@@ -220,6 +220,64 @@ def test_domain_accel_realistic_64k():
                       rtol=1e-9, atol=1e-12, check_no_fallback=True)
 
 
+def test_domain_accel_block_dual():
+    """block_dual on the domain-decomposed path (shared _dual_slab_eval).
+
+    Geometry matters for acceptance to fire at test scale: the slab a chip
+    assembles is Morton-LOCAL, so a compact scene gives every source tile a
+    box overlapping (or hugging) the target tile's box and nothing is ever
+    accepted (gap 0 under the box-box rule).  A filament along x — offset
+    from the octant planes so Morton order stays monotone in x — makes each
+    shard a long thin segment: groups of 128 rows span ~1/4 of it, 128-row
+    eval tiles likewise, and far-end (group, tile) pairs pass
+    w^2 < margin * theta^2 * gap^2.  Forces must stay inside the BH error
+    envelope vs the exact dense sum; psum'd dual_tiles must be > 0."""
+    from nbody_tpu.engines.brute_force import force_tiled
+
+    rng = np.random.default_rng(11)
+    capacity = 16384
+    pos = np.stack(
+        [rng.uniform(-5.8, 5.8, capacity),
+         2.9 + rng.normal(scale=0.03, size=capacity),
+         2.9 + rng.normal(scale=0.03, size=capacity)], axis=1
+    ).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, capacity).astype(np.float32)
+    state = ParticleState.create(pos, np.zeros_like(pos), mass,
+                                 capacity=capacity, dtype=jnp.float32)
+    params = SimParams.create(dt=1e-2, g_soft=0.05, theta2=1.0,
+                              bounds_width=12.0, dtype=jnp.float32)
+    m = state.effective_mass()
+    ref = np.asarray(force_tiled(state.pos, m, params))
+
+    # shard 16384/8 = 2048; window (128 + 2*960 = 2048) covers the whole
+    # shard = a ~1.45-long filament segment, so the 16 window tiles
+    # (~0.2-0.6 x-extent each) give far (group, tile) pairs real gaps
+    cfg = BHConfig(group_size=128, subgroups=8, window_pad=960,
+                   eval_tile=128, near_particle_cap=2048, near_cell_cap=512,
+                   far_particle_cap=256, far_cell_cap=128,
+                   frontier_cap=2048, accept_cap=2048, chunk_groups=1,
+                   max_level=6, start_level=1, multipole="quad",
+                   block_dual=True)
+    mesh = make_mesh(NDEV)
+
+    def body(p_loc, m_loc):
+        acc, stats = domain_accel(p_loc, m_loc, params.bounds, params.theta2,
+                                  params.g, params.g_soft, cfg, AXIS, NDEV)
+        return acc, jax.lax.psum(stats["dual_tiles"], AXIS)
+
+    acc, dual_tiles = _shard_call(body, mesh, state.pos, m,
+                                  out_specs=(P(AXIS), P()))
+    assert int(dual_tiles) > 0, "dual acceptance never fired on the mesh"
+    a = np.asarray(acc)
+    alive = np.asarray(m) > 0
+    rn = np.linalg.norm(ref, axis=1)
+    err = np.linalg.norm(a - ref, axis=1)[alive] / np.maximum(rn[alive],
+                                                              1e-30)
+    assert np.all(np.isfinite(err))
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.percentile(err, 99) < 1e-2, np.percentile(err, 99)
+
+
 def test_sharded_simulation_bh_domain_end_to_end():
     """ShardedSimulation(engine='bh') now runs the domain-decomposed path;
     positions after several steps must track the single-chip engine."""
