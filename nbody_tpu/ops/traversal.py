@@ -223,18 +223,26 @@ class BHConfig:
         elif n <= 262144:
             # block_dual measured accuracy-FREE (accuracy_1m.jsonl round-3
             # rows: dual_* p99 == no-dual p99 to 3 digits at every probed
-            # config) and +3.6% at 131k (dual_r3.jsonl quad_131k_dual)
+            # config); near cap 8192 -> 2048 is the MID-N optimum
+            # (dual_r3.jsonl 131k: 28.9 dual-only, 31.9 c2048, 31.8 c1024,
+            # 31.3 c512 — deeper cuts lose here, unlike >262k) and moves
+            # p99 force error at 131k only 9.97e-3 -> 1.00e-2
+            # (accuracy_midn.jsonl mid_dual_c2048 vs mid_base)
             base = dict(group_size=4096, subgroups=64, block_dual=True,
-                        dual_margin=1.2)
-        else:
-            # round-3 sweep (dual_r3.jsonl): near cap 8192 -> 2048 plus
-            # block-dual = 4.006 -> 5.287 steps/s @1M (+32%), 2.1 -> 2.48
-            # @2M, with p99 force error 3.06e-2 vs 3.01e-2 baseline
-            # (accuracy_1m.jsonl dual_n2048) — the extra near-fallback
-            # cells (7121 @1M) get exact self-excluded multipoles, which
-            # is why the cap cut is nearly free (VALIDATION.md §7)
-            base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=2048)
+        else:
+            # round-3 sweep (dual_r3.jsonl): block-dual + near cap
+            # 8192 -> 512 = 4.006 -> 5.61 steps/s @1M (+40%), 9.98 -> 10.31
+            # @524k, 2.77 -> 2.95 @2M, with p99 force error 3.061e-2 vs
+            # 3.01e-2 baseline (accuracy_1m.jsonl dual_n512) — the extra
+            # near-fallback cells (8550 @1M) get exact self-excluded
+            # multipoles, which is why cap cuts are nearly free
+            # (VALIDATION.md §7/§8).  Caps 256/128 buy only ~1-1.5% more
+            # (5.67/5.70 @1M, inside tunnel noise); 256 also passed its
+            # gate (dual_n256 p99 3.059e-2) but the gain is noise-level,
+            # so the conservative 512 ships.
+            base = dict(group_size=8192, subgroups=128, block_dual=True,
+                        dual_margin=1.2, near_particle_cap=512)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

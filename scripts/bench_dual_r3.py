@@ -102,6 +102,10 @@ CASES = [
     ("quad_131k_dual_c1024", 1 << 17, dict(near_particle_cap=1024)),
     ("quad_131k_dual_c512", 1 << 17, dict(near_particle_cap=512)),
     ("quad_1m_dual_x128", 1 << 20, dict(near_particle_cap=128)),
+    # round-3f: the near-cap cut frees ~250 MB of per-group near-row
+    # buffers at 8M (1024 groups x 8192 -> 512 rows) — the round-2
+    # single-chip OOM margin was ~300 MB, so 8M may now fit one chip
+    ("quad_8m_dual_x512", 1 << 23, dict(near_particle_cap=512)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
