@@ -246,6 +246,10 @@ class VisServer:
                 if path in ("/", "/index.html"):
                     with open(os.path.join(_STATIC, "index.html"), "rb") as f:
                         self._send(f.read(), "text/html")
+                elif path == "/sim.js":
+                    # the in-browser engine (local mode / ?local=1)
+                    with open(os.path.join(_STATIC, "sim.js"), "rb") as f:
+                        self._send(f.read(), "text/javascript")
                 elif path == "/api/positions":
                     stride = None
                     for kv in query.split("&"):
