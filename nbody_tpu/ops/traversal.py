@@ -217,7 +217,14 @@ class BHConfig:
         wider chunks vmap it (62 -> ~28 ms at 1M, tune_bh_r2.jsonl
         quad4_* rows; saturates at 8).  Pick the widest of 8/4/2/1 that
         divides the group count so block padding never exceeds one
-        group's worth of particles."""
+        group's worth of particles.
+
+        NOTE: the near-cap / window-pad cuts are tuned at the benchmark
+        theta^2 = 1.  Overflow-fallback cells get exact self-excluded
+        quadrupoles whose residual is independent of theta, so runs
+        chasing much tighter force errors (theta^2 << 1) should raise
+        ``near_particle_cap`` / ``window_pad`` back toward the round-2
+        values (8192/2048) to keep the fallback count near zero."""
         if n <= 32768:
             base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
@@ -227,9 +234,15 @@ class BHConfig:
             # (dual_r3.jsonl 131k: 28.9 dual-only, 31.9 c2048, 31.8 c1024,
             # 31.3 c512 — deeper cuts lose here, unlike >262k) and moves
             # p99 force error at 131k only 9.97e-3 -> 1.00e-2
-            # (accuracy_midn.jsonl mid_dual_c2048 vs mid_base)
+            # (accuracy_midn.jsonl mid_dual_c2048 vs mid_base).
+            # window_pad 2048 -> 1024: +4% (33.27 vs 31.9 @131k, r3h rows)
+            # with IDENTICAL near_fallback count (2843) — the evicted
+            # window rows all fit the near gather, so the force sum is
+            # unchanged in structure; wp512 ties perf but adds fallback
+            # pressure (3092), so 1024 ships.
             base = dict(group_size=4096, subgroups=64, block_dual=True,
-                        dual_margin=1.2, near_particle_cap=2048)
+                        dual_margin=1.2, near_particle_cap=2048,
+                        window_pad=1024)
         else:
             # round-3 sweep (dual_r3.jsonl): block-dual + near cap
             # 8192 -> 512 = 4.006 -> 5.61 steps/s @1M (+40%), 9.98 -> 10.31
@@ -241,8 +254,18 @@ class BHConfig:
             # (5.67/5.70 @1M, inside tunnel noise); 256 also passed its
             # gate (dual_n256 p99 3.059e-2) but the gain is noise-level,
             # so the conservative 512 ships.
+            # window_pad 2048 -> 512 (round-3h): 5.61 -> 6.128 @1M (+9%),
+            # 10.31 -> 11.22 @524k, 2.95 -> 3.22 @2M; wp256 saturates
+            # (6.161).  The SAME cut LOST in round 2 (pl_g8_pad1024,
+            # tune_bh_r2.jsonl) because evicted near cells then bloated
+            # the 8192-row near gather; with cap 512 they land in exact-
+            # multipole fallbacks instead (near_fallback 8550 -> 10258,
+            # the priced §7 mechanism).  Gated on CPU at the tier config
+            # (accuracy_wp_cpu.jsonl; TPU 1M gate queued for when the
+            # tunnel returns — VALIDATION.md §9).
             base = dict(group_size=8192, subgroups=128, block_dual=True,
-                        dual_margin=1.2, near_particle_cap=512)
+                        dual_margin=1.2, near_particle_cap=512,
+                        window_pad=512)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

@@ -83,6 +83,12 @@ CONFIGS = {
                       near_particle_cap=512),
     "dual_n256": dict(block_dual=True, dual_margin=1.2,
                       near_particle_cap=256),
+    # round 3h: WINDOW SHRINK winners (defaults otherwise: dual m1.2,
+    # cap 512).  The pad cut moves previously window-exact near cells to
+    # the gather/fallback path, so p99 must be re-gated before flipping.
+    "dual_wp1024": dict(window_pad=1024),
+    "dual_wp512": dict(window_pad=512),
+    "dual_wp256": dict(window_pad=256),
 }
 
 

@@ -37,6 +37,9 @@ CONFIGS = {
     # cap floor at mid N (the 1M gates stayed flat through cap 512)
     "mid_dual_c1024": dict(near_particle_cap=1024),
     "mid_dual_c512": dict(near_particle_cap=512),
+    # round 3h: window shrink at the mid preset (defaults: dual + c2048)
+    "mid_dual_wp1024": dict(window_pad=1024),
+    "mid_dual_wp512": dict(window_pad=512),
 }
 
 

@@ -104,8 +104,42 @@ CASES = [
     ("quad_1m_dual_x128", 1 << 20, dict(near_particle_cap=128)),
     # round-3f: the near-cap cut frees ~250 MB of per-group near-row
     # buffers at 8M (1024 groups x 8192 -> 512 rows) — the round-2
-    # single-chip OOM margin was ~300 MB, so 8M may now fit one chip
-    ("quad_8m_dual_x512", 1 << 23, dict(near_particle_cap=512)),
+    # single-chip OOM margin was ~300 MB, so 8M might have fit one chip.
+    # RESULT: still dies — the remote compile helper is SIGKILLed
+    # (compile-side OOM, /tmp/dual_r3i.log 2026-08-17); the case is
+    # disabled so unfiltered re-runs don't crash the chain.  Capacity
+    # at 8M is the domain path's job (results/domain_8m_virtual.json).
+    # ("quad_8m_dual_x512", 1 << 23, dict(near_particle_cap=512)),
+    # round-3h: WINDOW SHRINK — the mirror of the cap-cut miss ("round 2
+    # only probed increases"): w4096 growth lost, but window_pad CUTS were
+    # never probed.  With cap cuts priced (fallbacks = exact multipoles),
+    # a 2048->1024 pad cut drops ~2048 of ~13k slab rows from the pair
+    # kernel (~16% of its 70 ms @1M) for more near-gather/fb pressure.
+    ("quad_1m_dual_wp1024", 1 << 20, dict(window_pad=1024)),
+    ("quad_1m_dual_wp512", 1 << 20, dict(window_pad=512)),
+    ("quad_1m_dual_wp1024_c1024", 1 << 20,
+     dict(window_pad=1024, near_particle_cap=1024)),
+    ("quad_1m_dual_wp256", 1 << 20, dict(window_pad=256)),
+    # round-3i: re-probe finer acceptance tiles AT the cap-512 defaults —
+    # the et1024/et512 losses (-2%/-12%) predate the cap cut, and with the
+    # slab now ~30% smaller the per-tile overhead vs extra-acceptance
+    # trade has moved.  Finer tiles halve the acceptance distance
+    # (w^2 < margin*theta^2*d^2), attacking the ~70% of pair work that is
+    # intra-group (tile pairs within the same 8192-particle group).
+    ("quad_1m_x512_et1024", 1 << 20, dict(eval_tile=1024)),
+    ("quad_1m_x512_et512", 1 << 20, dict(eval_tile=512)),
+    # round-3j: scale the window cut across N + the mid-N preset
+    ("quad_524k_dual_wp512", 1 << 19, dict(window_pad=512)),
+    ("quad_2m_dual_wp512", 1 << 21, dict(window_pad=512)),
+    ("quad_131k_dual_wp1024", 1 << 17, dict(window_pad=1024)),
+    ("quad_131k_dual_wp512", 1 << 17, dict(window_pad=512)),
+    ("quad_4m_dual_wp512", 1 << 22, dict(window_pad=512)),
+    # round-3k: stack the two round-3h/i winners — finer acceptance tiles
+    # attack the intra-group pair work the window cut cannot remove
+    ("quad_1m_wp512_et1024", 1 << 20,
+     dict(window_pad=512, eval_tile=1024)),
+    ("quad_1m_wp512_et512", 1 << 20,
+     dict(window_pad=512, eval_tile=512)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
