@@ -140,6 +140,23 @@ CASES = [
      dict(window_pad=512, eval_tile=1024)),
     ("quad_1m_wp512_et512", 1 << 20,
      dict(window_pad=512, eval_tile=512)),
+    ("quad_1m_wp512_et256", 1 << 20,
+     dict(window_pad=512, eval_tile=256)),
+    # round-3l: GROUP SIZE CUT — the third unprobed mirror.  "Scale group
+    # size UP to trade gathers for dense evals" was tuned pre-dual at cap
+    # 8192/pad 2048, when gathers dominated; with cap 512 + pad 512 the
+    # gather volume collapsed, and the step is now bounded by INTRA-group
+    # all-pairs work (8192^2 x 128 groups = 8.6G of the ~9.4G pair evals
+    # at 1M).  Halving the group halves that square: 4096^2 x 256 = 4.3G,
+    # at the price of 2x group count (walk/collect overhead) and 2x
+    # window rows.  The walk was ~35 ms pre-dual vs the pair kernel's
+    # ~70 ms — arithmetic says this can pay if acceptance keeps up.
+    ("quad_1m_g4096_wp512", 1 << 20,
+     dict(group_size=4096, subgroups=64, window_pad=512)),
+    ("quad_1m_g2048_wp512", 1 << 20,
+     dict(group_size=2048, subgroups=64, window_pad=512)),
+    ("quad_1m_g4096_wp1024", 1 << 20,
+     dict(group_size=4096, subgroups=64, window_pad=1024)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
