@@ -329,7 +329,15 @@ def main(argv=None):
     p.add_argument("--max-points", type=int, default=100_000,
                    help="decimate streamed positions to about this many "
                    "(0 = stream all; 1M x f32 is ~12 MB/frame)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (same as the CLI's --cpu; "
+                   "the env var is overridden by the image, CLAUDE.md)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     pos, vel, mass = SCENES[args.scene](args.n, seed=0)
     sim = Simulation(
