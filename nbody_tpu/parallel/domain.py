@@ -52,7 +52,6 @@ from nbody_tpu.ops import morton
 from nbody_tpu.ops.tree import (
     _check_range_dtype,
     _pyramid_tables,
-    _quad_moments,
     _quad_pyramid,
     grid_bounds,
     level_offset,

@@ -55,6 +55,16 @@ CONFIGS = {
     "cpu_large_wp2048": dict(LARGE, window_pad=2048),
     "cpu_large_wp1024": dict(LARGE, window_pad=1024),
     "cpu_large_wp512": dict(LARGE, window_pad=512),
+    # round-3l group-size-cut candidates (pre-gated here so a TPU perf
+    # win can flip defaults without another gate round): the large-tier
+    # config at half/quarter groups.  Smaller groups shrink the window's
+    # absolute coverage, shifting near/fb pressure — not a free knob.
+    "cpu_large_g4096_wp512": dict(LARGE, group_size=4096, subgroups=64,
+                                  window_pad=512),
+    "cpu_large_g2048_wp512": dict(LARGE, group_size=2048, subgroups=64,
+                                  window_pad=512),
+    "cpu_large_g4096_wp1024": dict(LARGE, group_size=4096, subgroups=64,
+                                   window_pad=1024),
 }
 if N != 1 << 16:  # non-default N: large rows always, mid rows in-tier
     CONFIGS = {f"{k}_n{N >> 10}k": v for k, v in CONFIGS.items()

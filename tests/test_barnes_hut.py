@@ -7,7 +7,6 @@ engine (itself oracle-tested against numpy in test_brute_force.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nbody_tpu.core.state import Bounds, ParticleState, SimParams
 from nbody_tpu.engines.brute_force import force_dense

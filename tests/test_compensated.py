@@ -13,7 +13,6 @@ component and accumulates through an error-free TwoSum.  These tests pin:
     checkpoint round-trip) preserves the carry.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from nbody_tpu.core.state import ParticleState, SimParams
 from nbody_tpu.ops.traversal import BHConfig, bh_accel

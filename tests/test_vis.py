@@ -1,12 +1,10 @@
 """Visualizer server: payloads, controls, frame-loop parity."""
 
 import json
-import threading
 import urllib.request
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nbody_tpu.api import Simulation
 from nbody_tpu.scenes import self_gravitating_disc
