@@ -157,6 +157,13 @@ CASES = [
      dict(group_size=2048, subgroups=64, window_pad=512)),
     ("quad_1m_g4096_wp1024", 1 << 20,
      dict(group_size=4096, subgroups=64, window_pad=1024)),
+    # CPU accuracy pre-gates (accuracy_wp_cpu.jsonl): g4096 holds p99
+    # within 1.4x at 65k/131k; g2048 fails (2.4x) — if g2048 wins perf it
+    # still cannot ship without a different accuracy story.
+    ("quad_524k_g4096_wp512", 1 << 19,
+     dict(group_size=4096, subgroups=64, window_pad=512)),
+    ("quad_2m_g4096_wp512", 1 << 21,
+     dict(group_size=4096, subgroups=64, window_pad=512)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
