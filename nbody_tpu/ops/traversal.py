@@ -1141,7 +1141,12 @@ def _dual_slab_eval(slab, tgt8, center, theta2, g, g_soft, cfg: BHConfig):
             [slab, jnp.zeros((G, s_pad, 8), dtype)], axis=1
         )
     dmask, dqrows, n_dual = _dual_prepare(slab, tgt8, theta2, cfg, tile)
-    acc = _slab_eval(slab, tgt8, center, g, g_soft, cfg, mask=dmask)
+    # pass the tile the mask grid was built on: _slab_eval would otherwise
+    # re-derive it from the PADDED slab length and can pick a 2x larger
+    # tile when the un-padded slab was smaller than eval_tile (mask-grid
+    # desync — reproduced at group_size=128, window_pad=64, review r3)
+    acc = _slab_eval(slab, tgt8, center, g, g_soft, cfg, mask=dmask,
+                     tile=tile)
     bt = dmask.shape[1]
     acc = acc + _quad_eval(
         dqrows, tgt8.reshape(G * bt, B // bt, 8), g, g_soft, cfg
@@ -1149,7 +1154,8 @@ def _dual_slab_eval(slab, tgt8, center, theta2, g, g_soft, cfg: BHConfig):
     return acc, n_dual
 
 
-def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
+def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
+               tile=None):
     """One fused interaction pass: every group's targets vs its assembled
     source slab.  Backend by ``cfg.eval_mode``: the Pallas group-force
     kernel on TPU f32 (ops/group_force.py), an XLA contraction (chunked
@@ -1165,7 +1171,10 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None):
     G, B, _ = tgt8.shape
     dtype = tgt8.dtype
     S = slab.shape[1]
-    tile = _fit_eval_tile(cfg.eval_tile, S)
+    if tile is None:
+        tile = _fit_eval_tile(cfg.eval_tile, S)
+    else:
+        assert S % tile == 0, (S, tile)  # caller pre-padded to its tile
     s_pad = (-S) % tile
     if s_pad:
         assert mask is None, "block-dual callers must pre-pad the slab"

@@ -141,6 +141,14 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
             f"wide mode leaf codes need dim*max_level <= 24, got "
             f"{dim}*{max_level}"
         )
+    if wide and n_loc >= 1 << 24:
+        # the (chip, slot) return route stores slot = orig % n_loc in an
+        # f32 column; slots at/above 2^24 would round and silently scatter
+        # forces to the wrong rows (review r3) — shard wider instead
+        raise ValueError(
+            f"wide mode needs per-chip shard < 2^24 rows for the exact f32 "
+            f"(chip, slot) route, got {n_loc}; use more devices"
+        )
     assert halo <= n_loc, (halo, n_loc)
     branch = 1 << dim
     n_leaf = branch ** max_level

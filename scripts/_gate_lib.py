@@ -1,0 +1,94 @@
+"""Shared harness for the force-accuracy gate scripts (review r3 #4).
+
+One copy of the resume-by-name scan, the benchmark-scene state build, the
+error-percentile record, and the jsonl append — accuracy_1m.py,
+accuracy_midn.py, and accuracy_wp_cpu.py were drifting three copies of
+this skeleton (different sync calls, different record fields).  The
+backend-specific pieces stay with the callers: how the exact reference is
+computed (Pallas direct sum on TPU, the XLA brute engine on CPU) and any
+extra record fields.
+"""
+
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_done(path):
+    """Names already recorded in the jsonl (resume-by-name)."""
+    done = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+    return done
+
+
+def benchmark_state(n):
+    """The benchmark disc scene at capacity n (f32), with its SimParams."""
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.scenes import self_gravitating_disc
+
+    pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+    state = ParticleState.create(pos, vel, mass, capacity=n,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    return state, params
+
+
+def append_record(path, rec):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+
+
+def run_gate(configs, n, out, ref, state, params, extra_fields=None):
+    """Gate every config in ``configs`` (name -> auto_for overrides) not yet
+    in ``out`` against the precomputed exact reference ``ref`` [N, 3].
+
+    Sync is a host transfer of the first element (``float(acc[0, 0])``) —
+    reliable under the axon relay where block_until_ready is not
+    (CLAUDE.md); on CPU it is equivalent.  ``extra_fields``: optional
+    callable (stats dict) -> dict merged into each record.
+    """
+    from nbody_tpu.ops.traversal import BHConfig, bh_accel
+
+    done = load_done(out)
+    m = state.effective_mass()
+    r = np.asarray(ref)
+    rn = np.linalg.norm(r, axis=1)
+    alive = np.asarray(m) > 0
+
+    for name, opts in configs.items():
+        if name in done:
+            continue
+        cfg = BHConfig.auto_for(n, **opts)
+        t0 = time.perf_counter()
+        acc, stats = bh_accel(state.pos, m, params.bounds, params.theta2,
+                              params.g, params.g_soft, cfg)
+        float(acc[0, 0])
+        a = np.asarray(acc)
+        err = np.linalg.norm(a - r, axis=1)[alive] / np.maximum(
+            rn[alive], 1e-30)
+        rec = {
+            "name": name,
+            "n": n,
+            "median": float(np.median(err)),
+            "p99": float(np.percentile(err, 99)),
+            "max": float(err.max()),
+            "near_fallback": int(stats["near_fallback"]),
+            "fb_spill": int(stats["fb_spill"]),
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "ts": time.time(),
+        }
+        if extra_fields is not None:
+            rec.update(extra_fields(stats))
+        append_record(out, rec)

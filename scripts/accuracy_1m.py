@@ -5,21 +5,15 @@ VERDICT.md #4 gate: p99 relative force error < 5e-2 at theta^2=1 on the
 default auto_for(1M) config (round 1: 9.3e-2).  Appends JSON lines to
 results/accuracy_1m.jsonl."""
 
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from nbody_tpu.core.state import ParticleState, SimParams
 from nbody_tpu.ops.pairwise import pairwise_acc_pallas
-from nbody_tpu.ops.traversal import BHConfig, bh_accel
-from nbody_tpu.scenes import self_gravitating_disc
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "accuracy_1m.jsonl")
@@ -89,58 +83,25 @@ CONFIGS = {
     "dual_wp1024": dict(window_pad=1024),
     "dual_wp512": dict(window_pad=512),
     "dual_wp256": dict(window_pad=256),
+    # round 3l: group-size cut candidate (CPU pre-gates pass at <=1.6x
+    # through 262k, accuracy_wp_cpu.jsonl; g2048 FAILS >2x — do not ship
+    # it regardless of perf).  Gated here at the flagship N before any
+    # preset flip.
+    "dual_g4096_wp512": dict(group_size=4096, subgroups=64,
+                             window_pad=512),
 }
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                try:
-                    done.add(json.loads(line)["name"])
-                except Exception:
-                    pass
+    from _gate_lib import benchmark_state, run_gate
 
-    pos, vel, mass = self_gravitating_disc(N - 1, seed=0)
-    state = ParticleState.create(pos, vel, mass, capacity=N,
-                                 dtype=jnp.float32)
-    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
-                              bounds_width=10.0, dtype=jnp.float32)
+    state, params = benchmark_state(N)
     m = state.effective_mass()
-
     print("computing exact reference (1M^2 pairs)...", flush=True)
     ref = pairwise_acc_pallas(state.pos, m, params.g, params.g_soft)
-    r = np.asarray(ref)
-    rn = np.linalg.norm(r, axis=1)
-    alive = np.asarray(m) > 0
-
-    for name, opts in CONFIGS.items():
-        if name in done:
-            continue
-        cfg = BHConfig.auto_for(N, **opts)
-        t0 = time.perf_counter()
-        acc, stats = bh_accel(state.pos, m, params.bounds, params.theta2,
-                              params.g, params.g_soft, cfg)
-        float(acc[0, 0])
-        a = np.asarray(acc)
-        err = np.linalg.norm(a - r, axis=1)[alive] / np.maximum(rn[alive],
-                                                                1e-30)
-        rec = {
-            "name": name,
-            "median": float(np.median(err)),
-            "p99": float(np.percentile(err, 99)),
-            "max": float(err.max()),
-            "near_fallback": int(stats["near_fallback"]),
-            "fb_spill": int(stats["fb_spill"]),
-            "max_near_total": int(stats["near_totals"].max()),
-            "wall_s": round(time.perf_counter() - t0, 1),
-            "ts": time.time(),
-        }
-        os.makedirs(os.path.dirname(OUT), exist_ok=True)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(rec, flush=True)
+    run_gate(CONFIGS, N, OUT, ref, state, params,
+             extra_fields=lambda s: {
+                 "max_near_total": int(s["near_totals"].max())})
 
 
 if __name__ == "__main__":

@@ -20,7 +20,6 @@ exact-multipole-fallback path, and the gate checks that p99 force error
 does not move materially.  Appends to results/accuracy_wp_cpu.jsonl.
 """
 
-import json
 import os
 import sys
 import time
@@ -31,13 +30,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
 import numpy as np
 
-from nbody_tpu.core.state import ParticleState, SimParams
 from nbody_tpu.engines import get_engine
-from nbody_tpu.ops.traversal import BHConfig, bh_accel
-from nbody_tpu.scenes import self_gravitating_disc
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "accuracy_wp_cpu.jsonl")
@@ -72,57 +67,17 @@ if N != 1 << 16:  # non-default N: large rows always, mid rows in-tier
 
 
 def main():
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            for line in f:
-                try:
-                    done.add(json.loads(line)["name"])
-                except Exception:
-                    pass
+    from _gate_lib import benchmark_state, run_gate
 
-    pos, vel, mass = self_gravitating_disc(N - 1, seed=0)
-    state = ParticleState.create(pos, vel, mass, capacity=N,
-                                 dtype=jnp.float32)
-    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
-                              bounds_width=10.0, dtype=jnp.float32)
+    state, params = benchmark_state(N)
     m = state.effective_mass()
-
     print(f"computing exact reference ({N}^2 pairs, CPU)...", flush=True)
     brute = get_engine("brute")
     t0 = time.perf_counter()
     ref = jax.jit(lambda p, mm: brute.force(p, mm, params))(state.pos, m)
-    r = np.asarray(ref)
+    ref.block_until_ready()
     print(f"reference done in {time.perf_counter() - t0:.1f}s", flush=True)
-    rn = np.linalg.norm(r, axis=1)
-    alive = np.asarray(m) > 0
-
-    for name, opts in CONFIGS.items():
-        if name in done:
-            continue
-        cfg = BHConfig.auto_for(N, **opts)
-        t0 = time.perf_counter()
-        acc, stats = bh_accel(state.pos, m, params.bounds, params.theta2,
-                              params.g, params.g_soft, cfg)
-        acc.block_until_ready()
-        a = np.asarray(acc)
-        err = np.linalg.norm(a - r, axis=1)[alive] / np.maximum(
-            rn[alive], 1e-30)
-        rec = {
-            "name": name,
-            "n": N,
-            "median": float(np.median(err)),
-            "p99": float(np.percentile(err, 99)),
-            "max": float(err.max()),
-            "near_fallback": int(stats["near_fallback"]),
-            "fb_spill": int(stats["fb_spill"]),
-            "wall_s": round(time.perf_counter() - t0, 1),
-            "ts": time.time(),
-        }
-        os.makedirs(os.path.dirname(OUT), exist_ok=True)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(rec, flush=True)
+    run_gate(CONFIGS, N, OUT, ref, state, params)
 
 
 if __name__ == "__main__":

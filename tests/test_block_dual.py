@@ -171,3 +171,27 @@ def test_dual_disabled_by_default():
     state, params, m, ref = _setup(pos, mass, capacity=1024)
     _, st = _errors(state, params, m, ref, BHConfig.auto_for(1024))
     assert int(st["dual_tiles"]) == 0
+
+
+def test_dual_slab_smaller_than_eval_tile():
+    """Regression (review r3): when the assembled slab is SMALLER than
+    eval_tile, _dual_slab_eval fits a reduced tile and pads the slab up to
+    it — _slab_eval must reuse that tile, not re-derive a 2x larger one
+    from the padded length (mask-grid desync: trace-time shape error on
+    the XLA path, mask-shape assert on the Pallas path)."""
+    from nbody_tpu.scenes import self_gravitating_disc
+
+    pos, vel, mass = self_gravitating_disc(1023, seed=0)
+    state = ParticleState.create(pos, vel, mass, capacity=1024,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    m = state.effective_mass()
+    ref = np.asarray(force_tiled(state.pos, m, params))
+    # slab = group 128 + 2*64 window + 512 near = 768 < eval_tile 2048
+    cfg = BHConfig(max_level=4, group_size=128, subgroups=8, window_pad=64,
+                   near_particle_cap=512, near_cell_cap=128,
+                   accept_cap=1024, frontier_cap=2048, start_level=1,
+                   chunk_groups=1, block_dual=True)
+    err, _ = _errors(state, params, m, ref, cfg)  # must not crash
+    assert np.percentile(err, 99) < 2e-2
