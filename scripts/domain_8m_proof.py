@@ -48,12 +48,17 @@ from nbody_tpu.parallel.domain import domain_accel  # noqa: E402
 from nbody_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh  # noqa: E402
 from nbody_tpu.scenes import self_gravitating_disc  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "results",
-                   "domain_8m_virtual.json")
-
-N = 1 << 23  # 8M: single-chip OOM territory (round-2 measurement)
+# optional argv: log2(N) (default 23 = 8M).  24 runs the WIDE row format
+# (N >= 2^24, ops/tree.py wide_ranges) at its design scale — per-chip
+# shards of 2M rows with (chip, slot) f32 return routing.
+LOGN = 23 if len(sys.argv) < 2 else int(sys.argv[1])
+N = 1 << LOGN
 NDEV = 8
 SPOT = 1024
+FUSED_STEPS = LOGN <= 23  # the fused-step proof ran at 8M; skip at 16M+
+                          # (compile-dominated; domain_accel is the point)
+OUT = os.path.join(os.path.dirname(__file__), "..", "results",
+                   f"domain_{N >> 20}m_virtual.json")
 
 
 def main():
@@ -128,18 +133,24 @@ def main():
           f"p99 {np.percentile(err, 99):.2e} max {err.max():.2e}", flush=True)
 
     # ---- two fused engine steps end-to-end (integrator + cull + forces)
-    from nbody_tpu.parallel.sharded import ShardedSimulation
+    if FUSED_STEPS:
+        from nbody_tpu.parallel.sharded import ShardedSimulation
 
-    print("two fused steps via ShardedSimulation(engine='bh')...", flush=True)
-    t3 = time.perf_counter()
-    sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=NDEV,
-                            capacity=N, dt=3e-2, g_soft=0.02, theta2=1.0,
-                            bounds_width=10.0, dtype=jnp.float32)
-    sim.run(2)
-    sim.block_until_ready()
-    t4 = time.perf_counter()
-    n_alive = sim.n_alive
-    print(f"2 steps done in {t4 - t3:.1f}s, n_alive={n_alive}", flush=True)
+        print("two fused steps via ShardedSimulation(engine='bh')...",
+              flush=True)
+        t3 = time.perf_counter()
+        sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=NDEV,
+                                capacity=N, dt=3e-2, g_soft=0.02, theta2=1.0,
+                                bounds_width=10.0, dtype=jnp.float32)
+        sim.run(2)
+        sim.block_until_ready()
+        t4 = time.perf_counter()
+        n_alive = sim.n_alive
+        print(f"2 steps done in {t4 - t3:.1f}s, n_alive={n_alive}",
+              flush=True)
+    else:
+        t3 = t4 = time.perf_counter()
+        n_alive = -1  # not run (see FUSED_STEPS)
 
     out = {
         "n": N,
@@ -159,7 +170,8 @@ def main():
         "spot_err_max": float(err.max()),
         "n_alive_after_2_steps": int(n_alive),
         "total_s": time.perf_counter() - t0,
-        "note": "8-virtual-device CPU mesh; 8M does not fit one v5e chip "
+        "wide_rows": N >= (1 << 24),
+        "note": "8-virtual-device CPU mesh; 8M+ does not fit one v5e chip "
                 "(single-chip OOM by ~300MB, round-2). Per-chip arrays are "
                 "O(n_loc + halo); accept/frontier drops asserted zero.",
     }
