@@ -164,6 +164,13 @@ CASES = [
      dict(group_size=4096, subgroups=64, window_pad=512)),
     ("quad_2m_g4096_wp512", 1 << 21,
      dict(group_size=4096, subgroups=64, window_pad=512)),
+    # halving the group doubles the walk's sequential chunk count at the
+    # auto cap (chunk_groups <= 8); if g4096 stalls on the walk, wider
+    # vmapping is the first lever (the walk is XLA/HBM, not scoped-VMEM
+    # bound like the Pallas kernels)
+    ("quad_1m_g4096_wp512_cg16", 1 << 20,
+     dict(group_size=4096, subgroups=64, window_pad=512,
+          chunk_groups=16)),
     ("quad_131k_base", 1 << 17, None),
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
