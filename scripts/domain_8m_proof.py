@@ -99,7 +99,7 @@ def main():
     )
     fn = jax.jit(sm)
 
-    print("compiling + running domain_accel @8M on the 8-device mesh...",
+    print(f"compiling + running domain_accel @{N} on the 8-device mesh...",
           flush=True)
     t1 = time.perf_counter()
     acc, stats = fn(state.pos, m)
