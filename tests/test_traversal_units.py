@@ -118,3 +118,32 @@ def test_fit_chunks_divisibility():
     assert fit_chunks(8, 8, multiple=8) == 1        # 8 chunks of 1
     # cg never exceeds the group count
     assert fit_chunks(64, 4) == 4
+
+
+def test_auto_preset_shape_invariants():
+    """Every preset tier must produce internally consistent shapes — the
+    invariants that actually break when defaults are flipped (round-3
+    lesson: the window/cap/dual knobs moved three times).  Checked across
+    tiers and a spread of capacities, with and without block_dual."""
+    from nbody_tpu.ops.traversal import BHConfig, _fit_eval_tile
+
+    for n in (1 << 15, 1 << 17, 1 << 18, 1 << 20, 1 << 22, 1 << 24):
+        c = BHConfig.auto_for(n)
+        B = c.group_size
+        # group/chunk alignment (traversal reshapes)
+        assert n % (B * c.chunk_groups) == 0, (n, B, c.chunk_groups)
+        # window must cover the group plus the pad on each side
+        assert c.window == B + 2 * c.window_pad
+        # subgroup partition of the group
+        assert B % c.subgroups == 0
+        # dual acceptance needs the qrows pad target to fit one 128-wide
+        # quad tile: st = ceil(slab / tile) <= 128 for the worst slab
+        # (window + near cap)
+        slab = c.window + c.near_particle_cap
+        tile = _fit_eval_tile(c.eval_tile, slab)
+        st = -(-slab // tile)
+        assert st <= 128, (n, slab, tile, st)
+        # caps positive and the near path non-degenerate
+        assert c.near_particle_cap > 0 and c.near_cell_cap > 0
+        # theta-walk budgets exist for every level below start_level
+        assert c.max_level > c.start_level
