@@ -37,6 +37,14 @@ import jax  # noqa: E402
 # JAX_PLATFORMS env is rewritten by the image's sitecustomize; the config
 # call is the reliable way to stay off the (single) TPU chip (CLAUDE.md)
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the 8M/16M program compiles for HOURS on this
+# single core — a killed run (OOM watchdog, rendezvous abort) must not pay
+# that twice.  Keyed by HLO hash, shared with the test suite's cache dir.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_nbody_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
