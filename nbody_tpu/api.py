@@ -42,7 +42,7 @@ from nbody_tpu.core.stepper import (
     make_run_stateful,
     init_comp,
 )
-from nbody_tpu.core.energy import total_energy
+from nbody_tpu.core.energy import resolve_energy_method, total_energy
 from nbody_tpu.engines import Engine, get_engine
 
 
@@ -251,8 +251,15 @@ class Simulation:
 
     # -- diagnostics -------------------------------------------------------
 
-    def energy(self) -> float:
-        return float(total_energy(self._state, self._params))
+    def energy(self, method: str = "auto") -> float:
+        """Total energy. method: 'exact' (O(N²) pair PE), 'bh' (tree
+        estimator, ~1e-4 relative bias — fine for one-shot magnitudes, can
+        dominate DRIFT measurements at the 1e-5..1e-4 level), or 'auto'."""
+        return float(total_energy(self._state, self._params, method=method))
+
+    def energy_method(self, method: str = "auto") -> str:
+        """The method 'auto' resolves to at this capacity (diagnostic)."""
+        return resolve_energy_method(self._state.capacity, method)
 
     def aux(self) -> dict:
         """Engine-specific inspection data (octree node boxes etc.)."""

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard particles over this many devices (0 = single)")
     p.add_argument("--energy", action="store_true",
                    help="report initial/final total energy and drift")
+    p.add_argument("--energy-exact", action="store_true",
+                   help="force the exact O(N^2) pair potential for --energy "
+                   "(default 'auto' switches to the tree estimator above "
+                   "262k, whose ~1e-4 bias can dominate small drifts)")
     p.add_argument("--chunk", type=int, default=0,
                    help="steps per fused scan chunk (0 = all in one scan)")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
@@ -112,7 +116,8 @@ def main(argv=None) -> dict:
             compensated=args.compensated,
         )
 
-    e0 = sim.energy() if args.energy else None
+    e_method = "exact" if args.energy_exact else "auto"
+    e0 = sim.energy(method=e_method) if args.energy else None
 
     # compile outside the timing window (the reference's timing window also
     # excludes setup, src/main.rs:113)
@@ -158,9 +163,12 @@ def main(argv=None) -> dict:
         "n_alive": sim.n_alive,
     }
     if args.energy:
-        e1 = sim.energy()
+        e1 = sim.energy(method=e_method)
+        resolved = (sim.energy_method(e_method)
+                    if hasattr(sim, "energy_method") else e_method)
         result.update(energy_initial=e0, energy_final=e1,
-                      energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"))
+                      energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"),
+                      energy_method=resolved)
     if args.save:
         if hasattr(sim, "save"):
             sim.save(args.save)
@@ -173,8 +181,12 @@ def main(argv=None) -> dict:
         print(f"Elapsed: {elapsed:.3f}s")
         print(f"Performance: {steps_per_second:.2f} steps/second")
         if args.energy:
+            note = ("" if result["energy_method"] == "exact" else
+                    " [tree estimator: drifts <~1e-4 may be estimator "
+                    "bias — use --energy-exact to measure drift]")
             print(f"Energy: {e0:.9e} -> {result['energy_final']:.9e} "
-                  f"(|drift| {result['energy_drift']:.3e})")
+                  f"(|drift| {result['energy_drift']:.3e}, "
+                  f"{result['energy_method']}){note}")
     return result
 
 

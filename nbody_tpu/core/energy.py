@@ -79,10 +79,12 @@ def potential_energy_bh(state: ParticleState, params: SimParams,
 
     Window/near pairs are exact; accepted nodes contribute self-excluded
     monopoles (ops/traversal.py traverse_tree_phi).  Measured accuracy vs
-    the exact pair PE: ~1e-4 relative at 8k/θ²=1 (tests/test_energy.py) —
-    far below the drift levels the diagnostic watches.  ``theta2`` defaults
-    to the run's own opening angle; pass a smaller one for a tighter
-    estimate."""
+    the exact pair PE: ~1e-4 relative at 8k/θ²=1 (tests/test_energy.py).
+    That bias is the SAME magnitude as flagship-config f32 drift, and it
+    is configuration-dependent so it does not cancel between two calls —
+    good for one-shot energy magnitudes, NOT for drift measurement (see
+    resolve_energy_method).  ``theta2`` defaults to the run's own opening
+    angle; pass a smaller one for a tighter estimate."""
     from nbody_tpu.ops.traversal import BHConfig, bh_potential
 
     n = state.capacity
@@ -97,17 +99,30 @@ def potential_energy_bh(state: ParticleState, params: SimParams,
     return u
 
 
-# exact pair PE above this capacity costs more than a sim step; the tree
-# estimator's ~1e-4 relative error is noise at diagnostic drift levels
+# exact pair PE above this capacity costs more than a sim step
 _BH_ENERGY_THRESHOLD = 1 << 18
+
+
+def resolve_energy_method(capacity: int, method: str = "auto") -> str:
+    """What 'auto' picks: exact below 262k capacity, tree estimator above.
+
+    CAVEAT for drift measurements: the tree estimator's ~1e-4 relative bias
+    is configuration-dependent (the walk's accept set changes as particles
+    move), so it does NOT fully cancel between two evaluations — drift
+    readings below ~1e-4 from method='bh' can be estimator artifact.  Use
+    method='exact' when measuring drift (scripts/comp_drift_1m.py does);
+    'bh' is for one-shot energy magnitudes at N where O(N²) is prohibitive."""
+    if method == "auto":
+        return "bh" if capacity > _BH_ENERGY_THRESHOLD else "exact"
+    return method
 
 
 def total_energy(state: ParticleState, params: SimParams, tile: int = 512,
                  method: str = "auto"):
     """method: 'exact' (O(N²) pair PE — the small-N oracle), 'bh' (tree
-    estimator), or 'auto' (exact below 262k capacity, tree above)."""
-    if method == "auto":
-        method = ("bh" if state.capacity > _BH_ENERGY_THRESHOLD else "exact")
+    estimator), or 'auto' (see resolve_energy_method, incl. the drift
+    caveat)."""
+    method = resolve_energy_method(state.capacity, method)
     if method == "bh":
         pe = potential_energy_bh(state, params)
     else:

@@ -261,8 +261,9 @@ class BHConfig:
             # the 8192-row near gather; with cap 512 they land in exact-
             # multipole fallbacks instead (near_fallback 8550 -> 10258,
             # the priced §7 mechanism).  Gated on CPU at the tier config
-            # (accuracy_wp_cpu.jsonl; TPU 1M gate queued for when the
-            # tunnel returns — VALIDATION.md §9).
+            # (accuracy_wp_cpu.jsonl) AND on TPU @1M: wp512 p99 1.11x the
+            # pre-wp row, inside the <=2x criterion (accuracy_1m.jsonl
+            # dual_wp512 row — VALIDATION.md §9).
             base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)

@@ -413,15 +413,22 @@ class ShardedSimulation:
     def get_points(self):
         return self._state.get_points()
 
-    def energy(self) -> float:
+    def energy(self, method: str = "auto") -> float:
         """Total energy with the pair-potential sum computed IN PLACE on the
         mesh: a ppermute ring streams source shards past each chip's rows
         (O(N/chips) per-chip memory, same shape as the 'ring' force
         strategy) — round 1 replicated the whole state onto every device
-        first (VERDICT.md #3)."""
+        first (VERDICT.md #3).  Always the EXACT pair potential ('auto'
+        resolves to 'exact' here; the tree estimator is single-device)."""
+        if method not in ("auto", "exact"):
+            raise ValueError(
+                f"sharded energy is exact-only, got method={method!r}")
         if self._energy is None:
             self._energy = make_sharded_energy(self.mesh)
         return float(self._energy(self._state, self._params))
+
+    def energy_method(self, method: str = "auto") -> str:
+        return "exact"
 
     # -- particle management (reference src/shared.rs:91-92) ---------------
 

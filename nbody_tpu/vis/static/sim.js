@@ -261,6 +261,7 @@ LocalSim.prototype.reset = function () {
   this.pos = s.pos; this.vel = s.vel; this.mass = s.mass; this.n = s.n;
   this.acc = new Float64Array(this.n * 3);
   this.tree = new Octree(this.n);
+  this.treeStamp = -1; // step count the tree was last built for (boxesF32)
   this.elapsed = 0;
   this.steps = 0;
 };
@@ -270,6 +271,9 @@ LocalSim.prototype.computeForces = function () {
   const soft2 = g_soft * g_soft;
   const hw = this.boundsWidth / 2;
   this.tree.build(this.pos, this.mass, this.n, [0, 0, 0], hw);
+  // stamp with the post-step count (stepBy increments after forces) so the
+  // 250 ms boxes poll reuses this build instead of re-inserting N nodes 4x/s
+  this.treeStamp = this.steps + 1;
   for (let p = 0; p < this.n; p++)
     this.tree.force(this.pos, p, theta2, g, soft2, this.acc);
 };
@@ -315,9 +319,14 @@ LocalSim.prototype.positionsF32 = function () {
 };
 
 LocalSim.prototype.boxesF32 = function (maxBoxes) {
-  // rebuild on demand so boxes reflect the current positions even on pause
-  const hw = this.boundsWidth / 2;
-  this.tree.build(this.pos, this.mass, this.n, [0, 0, 0], hw);
+  // Rebuild only when positions changed since the last build: while running,
+  // every computeForces refreshes the tree (half a drift stale — invisible at
+  // wireframe granularity); while paused this rebuilds once and then caches.
+  if (this.treeStamp !== this.steps) {
+    const hw = this.boundsWidth / 2;
+    this.tree.build(this.pos, this.mass, this.n, [0, 0, 0], hw);
+    this.treeStamp = this.steps;
+  }
   return this.tree.boxes(maxBoxes || 20000);
 };
 

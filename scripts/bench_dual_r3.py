@@ -29,9 +29,20 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    "dual_r3.jsonl")
 STEPS = 25
 
+# The round-2 preset values the early rows in dual_r3.jsonl were measured
+# against.  auto_for's DEFAULTS flipped to dual+cap512+wp512 mid-round
+# (traversal.py auto_for), so "no override" no longer reproduces the old
+# baseline — any re-run of a `*_base` control row must pin these explicitly
+# (every output row also records its resolved config now, see `rec` below).
+R2_BASE = dict(block_dual=False, near_particle_cap=8192, window_pad=2048)
+
+# Historical-record timeline for reading results/dual_r3.jsonl: rows up
+# through round-3d were measured with the ROUND-2 preset defaults (R2_BASE
+# above); the preset flip landed before round-3e, so 3e-onward rows inherit
+# block_dual=True + the tier cap/pad cuts from auto_for unless overridden.
 CASES = [
-    # (name, n, engine_options) — quad defaults unless overridden
-    ("quad_1m_base", 1 << 20, None),  # fresh baseline, same tunnel session
+    # (name, n, engine_options) — preset defaults unless overridden
+    ("quad_1m_base", 1 << 20, dict(R2_BASE)),  # round-2 baseline control
     ("quad_1m_dual", 1 << 20, dict(block_dual=True)),
     ("quad_1m_dual_et1024", 1 << 20, dict(block_dual=True, eval_tile=1024)),
     ("quad_1m_dual_et512", 1 << 20, dict(block_dual=True, eval_tile=512)),
@@ -171,7 +182,7 @@ CASES = [
     ("quad_1m_g4096_wp512_cg16", 1 << 20,
      dict(group_size=4096, subgroups=64, window_pad=512,
           chunk_groups=16)),
-    ("quad_131k_base", 1 << 17, None),
+    ("quad_131k_base", 1 << 17, dict(R2_BASE)),  # round-2 baseline control
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
     ("quad_2m_dual", 1 << 21, dict(block_dual=True)),
@@ -216,6 +227,9 @@ def main():
         out = run(out, params, STEPS)
         float(out.time)
         dt_s = time.perf_counter() - t0
+        from nbody_tpu.ops.traversal import BHConfig
+
+        rcfg = BHConfig.auto_for(n, **(opts or {}))
         rec = {
             "name": name,
             "n": n,
@@ -223,6 +237,16 @@ def main():
             "ms_per_step": round(dt_s / STEPS * 1e3, 1),
             "compile_s": round(compile_s, 1),
             "ts": time.time(),
+            # resolved config snapshot: rows stay interpretable across
+            # future preset-default flips
+            "cfg": {"group_size": rcfg.group_size,
+                    "block_dual": rcfg.block_dual,
+                    "dual_margin": rcfg.dual_margin,
+                    "near_particle_cap": rcfg.near_particle_cap,
+                    "window_pad": rcfg.window_pad,
+                    "eval_tile": rcfg.eval_tile,
+                    "multipole": rcfg.multipole,
+                    "chunk_groups": rcfg.chunk_groups},
         }
         if want_stats:
             from nbody_tpu.ops.traversal import BHConfig, bh_accel

@@ -39,6 +39,21 @@ N = 1 << 20
 STEPS = 200
 CHUNK = 25  # steps per fused scan (same program shape as the benchmarks)
 
+# (name, compensated?, engine options) — the *_r2cfg / *_dualonly rows
+# attribute the round-3 drift: the 2026-08-18 run measured 1.34e-3 plain vs
+# 1.43e-3 compensated at the round-3 defaults (cap 512 / wp 512), i.e. drift
+# at 1M benchmark dt is FORCE-approximation dominated, not state-update
+# rounding.  r2cfg re-measures at the round-2 accuracy config to price the
+# cuts; dualonly isolates block_dual (measured accuracy-free on forces).
+R2CFG = dict(block_dual=False, near_particle_cap=8192, window_pad=2048)
+CASES = [
+    ("plain", False, {}),
+    ("compensated", True, {}),
+    ("plain_r2cfg", False, R2CFG),
+    ("plain_dualonly", False,
+     dict(block_dual=True, near_particle_cap=8192, window_pad=2048)),
+]
+
 
 def exact_energy(state, params):
     return float(kinetic_energy(state)
@@ -46,19 +61,33 @@ def exact_energy(state, params):
 
 
 def main():
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+
     pos, vel, mass = self_gravitating_disc(N - 1, seed=0)
     state0 = ParticleState.create(pos, vel, mass, capacity=N,
                                   dtype=jnp.float32)
     params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
                               bounds_width=10.0, dtype=jnp.float32)
-    engine = get_engine("bh")
 
     print("exact E0 (1M^2 pair PE)...", flush=True)
     e0 = exact_energy(state0, params)
     print(f"E0 = {e0:.9e}", flush=True)
 
-    for name in ("plain", "compensated"):
-        if name == "plain":
+    for name, comp, opts in CASES:
+        if wanted and not any(s in name for s in wanted):
+            continue
+        if not wanted and name in done:
+            continue
+        engine = get_engine("bh", **opts)
+        if not comp:
             run = make_run(engine.force, "leapfrog")
             out = run(state0, params, CHUNK)
             float(out.time)  # compile + program load outside timing

@@ -19,10 +19,11 @@ degrades over long sessions — CLAUDE.md): they catch 2x regressions, not
 any violation.  Run: make smoke-tpu
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

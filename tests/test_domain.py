@@ -209,9 +209,12 @@ def test_domain_accel_realistic_64k():
     With zero fallbacks both paths are exact direct sums + identical
     theta walks, so f64 agreement is reduction-order tight."""
     n = 65536
-    # block_dual pinned OFF: the domain path evaluates its slab exactly
-    # (ignores the flag), so the round-3 dual default on the single-chip
-    # side would compare an approximated far field against an exact one
+    # block_dual pinned OFF on BOTH sides: the domain path supports dual
+    # (parallel/domain.py wires _dual_slab_eval — test above), but its tile
+    # boundaries come from per-chip slab assembly and differ from the
+    # single-chip grid, so dual-on would compare two DIFFERENT tile-pair
+    # acceptance sets (accuracy-level agreement only).  This test pins both
+    # exact so f64 agreement stays reduction-order tight; keep the pin.
     cfg = BHConfig.auto_for(n, max_level=6,
                             near_particle_cap=16384, near_cell_cap=4096,
                             far_particle_cap=8192, far_cell_cap=2048,
