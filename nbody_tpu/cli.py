@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "counters)")
     p.add_argument("--save", metavar="PATH", default=None,
                    help="checkpoint the final state to PATH")
+    p.add_argument("--accurate", action="store_true",
+                   help="BH accuracy profile: restore the round-2 near/window "
+                   "budgets (block-dual stays on).  ~1.5x slower at 1M for "
+                   "~6x less energy drift at benchmark dt (VALIDATION.md "
+                   "§10); bh engines only")
     p.add_argument("--compensated", action="store_true",
                    help="carry double-float (TwoSum) low words for pos/vel: "
                    "closes most of the f32 energy-drift gap to f64 at <1%% "
@@ -89,6 +94,14 @@ def main(argv=None) -> dict:
 
         args.engine = resolve_auto_engine(len(mass))
 
+    eng_opts = {}
+    if args.accurate:
+        if not args.engine.startswith("bh"):
+            raise SystemExit("--accurate applies to bh engines only")
+        # explicit caps (not profile=) so the sharded BHConfig(**opts)
+        # path accepts them too; same values as profile='accurate'
+        eng_opts.update(near_particle_cap=8192, window_pad=2048)
+
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation
 
@@ -104,6 +117,7 @@ def main(argv=None) -> dict:
             bounds_width=args.box_width,
             dtype=dtype,
             dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
+            engine_options=eng_opts or None,
         )
     else:
         sim = Simulation(
@@ -114,6 +128,7 @@ def main(argv=None) -> dict:
             dtype=dtype,
             dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
             compensated=args.compensated,
+            engine_options=eng_opts or None,
         )
 
     e_method = "exact" if args.energy_exact else "auto"

@@ -28,6 +28,13 @@ from nbody_tpu.ops.traversal import BHConfig, bh_accel
 
 
 def make_bh_engine(name: str = "bh", **options) -> Engine:
+    # 'profile' selects a preset family, not a BHConfig field: 'fast' (the
+    # benchmark-tuned cap/pad cuts) or 'accurate' (round-2 budgets — see
+    # BHConfig.auto_for and VALIDATION.md §10 for the measured trade)
+    profile = options.pop("profile", "fast")
+    if profile == "accurate":
+        options.setdefault("near_particle_cap", 8192)
+        options.setdefault("window_pad", 2048)
     cfg = BHConfig(**options)
     # group sizing left to the engine -> pick the sweep-tuned preset for the
     # state's capacity at trace time (bigger groups win as N grows)

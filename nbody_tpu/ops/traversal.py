@@ -207,7 +207,7 @@ class BHConfig:
         return self.group_size + 2 * self.window_pad
 
     @staticmethod
-    def auto_for(n: int, **overrides) -> "BHConfig":
+    def auto_for(n: int, profile: str = "fast", **overrides) -> "BHConfig":
         """Size-adaptive preset (v5e sweep, scripts/tune_bh_1m.py): dense
         group evals get relatively cheaper as N grows, so the optimal group
         size scales up — 8192 wins at N=1M (1.41 steps/s vs 1.13 for the
@@ -222,9 +222,15 @@ class BHConfig:
         NOTE: the near-cap / window-pad cuts are tuned at the benchmark
         theta^2 = 1.  Overflow-fallback cells get exact self-excluded
         quadrupoles whose residual is independent of theta, so runs
-        chasing much tighter force errors (theta^2 << 1) should raise
-        ``near_particle_cap`` / ``window_pad`` back toward the round-2
-        values (8192/2048) to keep the fallback count near zero."""
+        chasing much tighter force errors (theta^2 << 1) should use
+        ``profile='accurate'``, which keeps block_dual (measured
+        accuracy-free) but restores the round-2 cap/pad values
+        (8192/2048).  Measured trade @1M benchmark dt (VALIDATION §10):
+        'fast' = 6.13 steps/s at 1.34e-3 energy drift/200 steps,
+        'accurate' caps = ~4.0-4.3 steps/s at ~2.1e-4."""
+        if profile not in ("fast", "accurate"):
+            raise ValueError(f"profile must be 'fast' or 'accurate', "
+                             f"got {profile!r}")
         if n <= 32768:
             base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
@@ -267,6 +273,9 @@ class BHConfig:
             base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)
+        if profile == "accurate" and n > 32768:
+            # round-2 accuracy budgets; block_dual stays on (accuracy-free)
+            base.update(near_particle_cap=8192, window_pad=2048)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

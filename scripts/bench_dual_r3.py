@@ -182,6 +182,15 @@ CASES = [
     ("quad_1m_g4096_wp512_cg16", 1 << 20,
      dict(group_size=4096, subgroups=64, window_pad=512,
           chunk_groups=16)),
+    # round-3m: walk-width at the SHIPPED defaults (g8192).  The 02:22
+    # profile puts the collect walk at 34.2 ms of the 164.5 ms step — #2
+    # behind the 55.8 ms pair kernel.  The cg<=8 auto cap came from
+    # pre-dual tuning ("saturates at 8", tune_bh_r2.jsonl) when the pair
+    # kernel dwarfed the walk; at 1M n_groups=128 so cg16 halves the
+    # lax.map chunk count to 8 at 2x walk working set (XLA/HBM-bound,
+    # not scoped-VMEM).
+    ("quad_1m_wp512_cg16", 1 << 20, dict(chunk_groups=16)),
+    ("quad_1m_wp512_cg32", 1 << 20, dict(chunk_groups=32)),
     ("quad_131k_base", 1 << 17, dict(R2_BASE)),  # round-2 baseline control
     ("quad_131k_dual", 1 << 17, dict(block_dual=True)),
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),

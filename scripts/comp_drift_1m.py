@@ -52,6 +52,12 @@ CASES = [
     ("plain_r2cfg", False, R2CFG),
     ("plain_dualonly", False,
      dict(block_dual=True, near_particle_cap=8192, window_pad=2048)),
+    # split the cut contributions (dual stays on, the preset default):
+    # measured 2026-08-18 — r3 defaults 1.34e-3, r2cfg 2.11e-4, so the
+    # cuts cost ~6.4x drift; these price cap vs wp separately to decide
+    # whether the wp cut's +9% perf is worth its drift share.
+    ("plain_caponly", False, dict(near_particle_cap=512, window_pad=2048)),
+    ("plain_wponly", False, dict(near_particle_cap=8192, window_pad=512)),
 ]
 
 

@@ -147,3 +147,47 @@ def test_auto_preset_shape_invariants():
         assert c.near_particle_cap > 0 and c.near_cell_cap > 0
         # theta-walk budgets exist for every level below start_level
         assert c.max_level > c.start_level
+
+
+def test_accuracy_profile_presets():
+    """profile='accurate' restores the round-2 near/window budgets while
+    keeping block_dual (measured accuracy-free, VALIDATION.md §8) and all
+    shape invariants; the engine-level spelling must agree."""
+    import pytest
+
+    from nbody_tpu.engines import get_engine
+    from nbody_tpu.ops.traversal import BHConfig
+
+    for n in (1 << 17, 1 << 20, 1 << 22):
+        fast = BHConfig.auto_for(n)
+        acc = BHConfig.auto_for(n, profile="accurate")
+        assert acc.near_particle_cap == 8192
+        assert acc.window_pad == 2048
+        assert acc.block_dual == fast.block_dual  # dual stays on
+        assert acc.group_size == fast.group_size
+        # same alignment invariants as the fast presets
+        assert n % (acc.group_size * acc.chunk_groups) == 0
+        assert acc.window == acc.group_size + 2 * acc.window_pad
+    # small tier: the cuts never applied there — profile is a no-op
+    small = BHConfig.auto_for(1 << 14, profile="accurate")
+    assert small == BHConfig.auto_for(1 << 14)
+    with pytest.raises(ValueError):
+        BHConfig.auto_for(1 << 20, profile="turbo")
+    # engine spelling: profile pops before BHConfig(**options)
+    eng = get_engine("bh", profile="accurate")
+    assert eng is not None
+
+
+def test_cli_accurate_flag_smoke():
+    """--accurate drives end-to-end on the CPU backend and rejects non-bh
+    engines."""
+    import pytest
+
+    from nbody_tpu.cli import main
+
+    r = main(["-n", "512", "--steps", "2", "--engine", "bh", "--accurate",
+              "--json", "--cpu"])
+    assert r["n_alive"] >= 512
+    with pytest.raises(SystemExit):
+        main(["-n", "256", "--steps", "1", "--engine", "brute",
+              "--accurate", "--cpu"])
