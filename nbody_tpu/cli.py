@@ -67,9 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save", metavar="PATH", default=None,
                    help="checkpoint the final state to PATH")
     p.add_argument("--accurate", action="store_true",
-                   help="BH accuracy profile: restore the round-2 near/window "
-                   "budgets (block-dual stays on).  ~1.5x slower at 1M for "
-                   "~6x less energy drift at benchmark dt (VALIDATION.md "
+                   help="BH accuracy profile: restore the round-2 window pad "
+                   "(the measured drift carrier; block-dual and the near-cap "
+                   "cut stay — both drift-cheap).  ~8%% slower at 1M for "
+                   "~3.6x less energy drift at benchmark dt (VALIDATION.md "
                    "§10); bh engines only")
     p.add_argument("--compensated", action="store_true",
                    help="carry double-float (TwoSum) low words for pos/vel: "
@@ -98,9 +99,9 @@ def main(argv=None) -> dict:
     if args.accurate:
         if not args.engine.startswith("bh"):
             raise SystemExit("--accurate applies to bh engines only")
-        # explicit caps (not profile=) so the sharded BHConfig(**opts)
-        # path accepts them too; same values as profile='accurate'
-        eng_opts.update(near_particle_cap=8192, window_pad=2048)
+        # explicit pad (not profile=) so the sharded BHConfig(**opts)
+        # path accepts it too; same value as profile='accurate'
+        eng_opts.update(window_pad=2048)
 
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation

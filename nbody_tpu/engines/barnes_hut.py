@@ -33,7 +33,6 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     # BHConfig.auto_for and VALIDATION.md §10 for the measured trade)
     profile = options.pop("profile", "fast")
     if profile == "accurate":
-        options.setdefault("near_particle_cap", 8192)
         options.setdefault("window_pad", 2048)
     cfg = BHConfig(**options)
     # group sizing left to the engine -> pick the sweep-tuned preset for the

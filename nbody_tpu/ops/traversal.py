@@ -223,11 +223,13 @@ class BHConfig:
         theta^2 = 1.  Overflow-fallback cells get exact self-excluded
         quadrupoles whose residual is independent of theta, so runs
         chasing much tighter force errors (theta^2 << 1) should use
-        ``profile='accurate'``, which keeps block_dual (measured
-        accuracy-free) but restores the round-2 cap/pad values
-        (8192/2048).  Measured trade @1M benchmark dt (VALIDATION §10):
-        'fast' = 6.13 steps/s at 1.34e-3 energy drift/200 steps,
-        'accurate' caps = ~4.0-4.3 steps/s at ~2.1e-4."""
+        ``profile='accurate'``, which keeps block_dual and the near-cap
+        cut (both measured drift-cheap) and restores only the round-2
+        window pad (2048) — the wp cut is the drift carrier.  Measured
+        @1M benchmark dt (VALIDATION §10 attribution table): 'fast' =
+        6.13-6.21 steps/s at 1.34e-3 energy drift/200 steps, 'accurate'
+        = 5.66 at 3.73e-4; full round-2 budgets (raise
+        near_particle_cap manually) = 4.28 at 2.78e-4."""
         if profile not in ("fast", "accurate"):
             raise ValueError(f"profile must be 'fast' or 'accurate', "
                              f"got {profile!r}")
@@ -274,8 +276,12 @@ class BHConfig:
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)
         if profile == "accurate" and n > 32768:
-            # round-2 accuracy budgets; block_dual stays on (accuracy-free)
-            base.update(near_particle_cap=8192, window_pad=2048)
+            # restore ONLY the window pad: the drift-attribution split
+            # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut
+            # carries ~1.2e-3 of the 1.34e-3 drift while the cap cut adds
+            # <1e-4 — (5.66 steps/s, 3.7e-4) dominates the full round-2
+            # restoration (4.28, 2.8e-4) on the measured Pareto frontier
+            base.update(window_pad=2048)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

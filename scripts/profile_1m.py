@@ -21,8 +21,10 @@ from nbody_tpu.core.state import ParticleState, SimParams
 from nbody_tpu.ops.traversal import BHConfig, bh_accel
 from nbody_tpu.scenes import self_gravitating_disc
 
-N = 1 << 20
-TRACE_DIR = "/tmp/jaxtrace_1m"
+# optional argv: log2(N) (default 20 — the 1M flagship)
+_LOG2N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+N = 1 << _LOG2N
+TRACE_DIR = f"/tmp/jaxtrace_{_LOG2N}"
 
 
 def main():

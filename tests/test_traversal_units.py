@@ -150,9 +150,10 @@ def test_auto_preset_shape_invariants():
 
 
 def test_accuracy_profile_presets():
-    """profile='accurate' restores the round-2 near/window budgets while
-    keeping block_dual (measured accuracy-free, VALIDATION.md §8) and all
-    shape invariants; the engine-level spelling must agree."""
+    """profile='accurate' restores only the round-2 window pad — the
+    measured drift carrier (VALIDATION.md §10 attribution) — keeping
+    block_dual and the near-cap cut (both drift-cheap) and all shape
+    invariants; the engine-level spelling must agree."""
     import pytest
 
     from nbody_tpu.engines import get_engine
@@ -161,7 +162,7 @@ def test_accuracy_profile_presets():
     for n in (1 << 17, 1 << 20, 1 << 22):
         fast = BHConfig.auto_for(n)
         acc = BHConfig.auto_for(n, profile="accurate")
-        assert acc.near_particle_cap == 8192
+        assert acc.near_particle_cap == fast.near_particle_cap
         assert acc.window_pad == 2048
         assert acc.block_dual == fast.block_dual  # dual stays on
         assert acc.group_size == fast.group_size
