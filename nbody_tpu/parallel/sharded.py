@@ -320,7 +320,26 @@ class ShardedSimulation:
         if engine in ("bh", "bh-deep"):
             from nbody_tpu.ops.traversal import BHConfig
 
-            bh_config = BHConfig(**(engine_options or {}))
+            opts = dict(engine_options or {})
+            profile = opts.pop("profile", "fast")
+            # mirror the single-chip engine (engines/barnes_hut.py): when the
+            # caller leaves group sizing to us, use the capacity-adaptive
+            # preset — sized by the PER-CHIP shard, which is what each chip's
+            # walk/slab actually sees.  Raw BHConfig() field defaults here
+            # used to silently drop block-dual + the tuned cap/pad cuts on
+            # every multi-chip run (~35% of the single-chip step rate at
+            # 1M/chip, dual_r3.jsonl).
+            auto_group = not any(
+                k in opts for k in ("group_size", "subgroups", "chunk_groups")
+            )
+            if auto_group:
+                per_chip = -(-len(mass) // n_dev)
+                bh_config = BHConfig.auto_for(per_chip, profile=profile,
+                                              **opts)
+            else:
+                if profile == "accurate":
+                    opts.setdefault("window_pad", 2048)
+                bh_config = BHConfig(**opts)
             # "bh" = Morton-range domain decomposition (O(N/chips + halo)
             # per chip); "bh-replicated" = round-1 all-gather path (kept for
             # A/B and for configs with groups larger than a shard)
@@ -355,6 +374,7 @@ class ShardedSimulation:
         )
         self._engine_name = engine
         self._engine_options = engine_options
+        self._bh_config = bh_config  # resolved config (None for brute)
         self._energy = None
         self._step = make_sharded_step(self.mesh, integrator, strategy,
                                        bh_config=bh_config)

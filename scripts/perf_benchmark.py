@@ -49,15 +49,11 @@ def bench_one(engine: str, n: int, steps: int, repeats: int, devices: int,
         # (reference perf_benchmark.py cpu_count loop)
         from nbody_tpu.parallel import ShardedSimulation
 
-        opts = None
-        if engine.startswith("bh"):
-            from nbody_tpu.ops.traversal import BHConfig
-
-            c = BHConfig.auto_for(max(n // devices, 2048))
-            opts = dict(group_size=c.group_size, subgroups=c.subgroups)
+        # ShardedSimulation now applies the capacity-adaptive preset (incl.
+        # block-dual + the tuned cap/pad cuts) from the per-chip shard size
+        # itself when no group keys are given
         sim = ShardedSimulation(
-            pos, vel, mass, engine=engine, n_devices=devices,
-            engine_options=opts, **common,
+            pos, vel, mass, engine=engine, n_devices=devices, **common,
         )
     else:
         sim = Simulation(pos, vel, mass, engine=engine, **common)

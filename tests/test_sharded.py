@@ -201,3 +201,31 @@ def test_sharded_aux_tree_boxes():
     mins, maxs, count = aux["tree_boxes"][0]
     assert count >= 1
     assert aux["accept_dropped"] == 0
+
+
+def test_sharded_bh_auto_preset():
+    """With no group keys in engine_options, ShardedSimulation resolves the
+    capacity-adaptive preset from the PER-CHIP shard (raw field defaults
+    used to silently drop block-dual + the tuned cuts on multi-chip runs);
+    profile='accurate' restores the round-2 window pad."""
+    from nbody_tpu.ops.traversal import BHConfig
+    from nbody_tpu.parallel.sharded import ShardedSimulation
+
+    pos, vel, mass = self_gravitating_disc(2000, seed=3)
+    sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                            dt=3e-2, g_soft=0.02, theta2=1.0,
+                            dtype=jnp.float32)
+    per_chip = -(-len(mass) // 8)
+    expect = BHConfig.auto_for(per_chip)
+    assert sim._bh_config.group_size == expect.group_size
+    assert sim._bh_config.block_dual == expect.block_dual
+    assert sim._bh_config.near_particle_cap == expect.near_particle_cap
+    sim.run(2)
+    p, _, _, _ = sim.get_points()
+    assert np.all(np.isfinite(p))
+
+    acc = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                            engine_options=dict(profile="accurate"),
+                            dt=3e-2, g_soft=0.02, theta2=1.0,
+                            dtype=jnp.float32)
+    assert acc._bh_config.window_pad == 2048
