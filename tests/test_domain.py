@@ -438,3 +438,64 @@ def test_domain_accel_wide_with_fallback_pressure(monkeypatch):
     a_n, a_w = np.asarray(acc_narrow)[alive], np.asarray(acc_wide)[alive]
     scale = np.abs(a_n).max()
     np.testing.assert_allclose(a_w, a_n, rtol=1e-6, atol=1e-6 * scale)
+
+
+@pytest.mark.slow
+def test_domain_accel_preset_accuracy_gate():
+    """Accuracy gate for the SHIPPED preset family on the domain path.
+
+    The round-3 cut presets (block-dual + near-cap + window-pad) were
+    accuracy-gated on the single-chip path (VALIDATION.md §8/§9); the
+    domain path shares the traversal/eval code but assembles slabs from
+    per-chip Morton ranges, so its tile boundaries — and therefore its
+    acceptance sets — differ.  This gates the domain path's force error
+    against exact dense truth at the mid-tier preset (group 4096, dual,
+    cap 2048, pad 1024 — what ShardedSimulation resolves above 32k per
+    chip), requiring p99 within 2x the single-chip error at the SAME
+    preset and inside an absolute envelope consistent with the CPU gates
+    (accuracy_wp_cpu.jsonl: mid-config p99 4.4e-3 at 65k)."""
+    from nbody_tpu.engines.brute_force import force_tiled
+
+    n = 65536
+    cfg = BHConfig.auto_for(262144)  # the >32k..262k tier preset
+    assert cfg.block_dual and cfg.near_particle_cap == 2048
+    pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+    state = ParticleState.create(pos, vel, mass, capacity=n,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    m = state.effective_mass()
+
+    acc_true = np.asarray(force_tiled(state.pos, m, params))
+
+    acc_single = np.asarray(jax.jit(
+        lambda p, mm: bh_accel(p, mm, params.bounds, params.theta2,
+                               params.g, params.g_soft, cfg)[0]
+    )(state.pos, m))
+
+    mesh = make_mesh(NDEV)
+    n_loc = n // NDEV
+
+    def body(p_loc, m_loc):
+        assert p_loc.shape == (n_loc, 3)
+        acc, _stats = domain_accel(p_loc, m_loc, params.bounds,
+                                   params.theta2, params.g, params.g_soft,
+                                   cfg, AXIS, NDEV)
+        return acc
+
+    sm = jax.shard_map(body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                       out_specs=P(AXIS), check_vma=False)
+    acc_domain = np.asarray(jax.jit(sm)(state.pos, m))
+
+    alive = np.asarray(m) > 0
+    scale = np.linalg.norm(acc_true[alive], axis=1)
+    floor = np.percentile(scale, 1)
+
+    def p99(acc):
+        err = np.linalg.norm(acc[alive] - acc_true[alive], axis=1)
+        return np.percentile(err / np.maximum(scale, floor), 99)
+
+    e_single, e_domain = p99(acc_single), p99(acc_domain)
+    print(f"p99 rel err: single {e_single:.3e}, domain {e_domain:.3e}")
+    assert e_domain < 2e-2  # absolute envelope (CPU gates: ~4.4e-3 @65k)
+    assert e_domain <= 2.0 * max(e_single, 1e-4)
