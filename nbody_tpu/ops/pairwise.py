@@ -77,6 +77,24 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
                         interpret=False):
     """pos [N, 3], mass [N] -> acc [N, 3].  N must be a multiple of the tile
     sizes (states are capacity-padded; pad sources with m=0)."""
+    return pairwise_acc_pallas_targets(pos, pos, mass, g, g_soft,
+                                       tile_i=tile_i, tile_j=tile_j,
+                                       interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pairwise_acc_pallas_targets(pos_t, pos, mass, g, g_soft, *, tile_i=512,
+                                tile_j=2048, interpret=False):
+    """Exact direct sum onto an arbitrary target set: pos_t [K, 3] targets
+    vs pos [N, 3] / mass [N] sources -> acc [K, 3].
+
+    The kernel is target/source symmetric already (a target coincident
+    with a source — e.g. a sampled row of ``pos`` — contributes exactly
+    +0.0 through the d = 0 path, identical to the full kernel's self-pair
+    handling), so this is the same code on a K x N grid.  Purpose: a
+    sampled-row exact oracle at N where the full N² dispatch is
+    impractical (a single 4M² kernel is ~105 s and has crashed the TPU
+    worker mid-dispatch; 8192 x 4M is ~0.2 s)."""
     if pos.shape[1] != 3:
         # the kernel's coordinate unpacking is 3D-only; fail loudly instead
         # of indexing a phantom z column (2D states should use the
@@ -86,23 +104,24 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
             "use engine='brute' or 'bh' for 2D"
         )
     n = pos.shape[0]
+    k = pos_t.shape[0]
     dtype = pos.dtype
-    # shrink tiles to the largest power-of-two divisor of n (capacities are
-    # always multiples of 128, so 128 always works)
-    while tile_i > 128 and n % tile_i:
+    # shrink tiles to the largest power-of-two divisor of k/n (capacities
+    # are always multiples of 128, so 128 always works)
+    while tile_i > 128 and k % tile_i:
         tile_i //= 2
     while tile_j > 128 and n % tile_j:
         tile_j //= 2
-    tile_i = min(tile_i, n)
+    tile_i = min(tile_i, k)
     tile_j = min(tile_j, n)
-    assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)
+    assert k % tile_i == 0 and n % tile_j == 0, (k, n, tile_i, tile_j)
 
-    col = lambda a: a.reshape(n, 1)
+    col = lambda a: a.reshape(k, 1)
     row = lambda a: a.reshape(1, n)
-    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    x, y, z = pos_t[:, 0], pos_t[:, 1], pos_t[:, 2]
     scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
 
-    grid = (n // tile_i, n // tile_j)
+    grid = (k // tile_i, n // tile_j)
 
     def call(guard):
         return pl.pallas_call(
@@ -121,19 +140,21 @@ def pairwise_acc_pallas(pos, mass, g, g_soft, *, tile_i=512, tile_j=2048,
             out_specs=pl.BlockSpec(
                 (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n, 8), dtype),
+            out_shape=jax.ShapeDtypeStruct((k, 8), dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=int(n) * int(n) * 18,
-                bytes_accessed=int(n) * 4 * 4 + int(n) * 8 * 4,
-                transcendentals=int(n) * int(n),
+                flops=int(k) * int(n) * 18,
+                bytes_accessed=int(k) * 4 * 4 + int(n) * 8 * 4,
+                transcendentals=int(k) * int(n),
             ),
             interpret=interpret,
         )
 
-    args = (scal, col(x), col(y), col(z), row(x), row(y), row(z), row(mass))
+    sx, sy, sz = pos[:, 0], pos[:, 1], pos[:, 2]
+    args = (scal, col(x), col(y), col(z), row(sx), row(sy), row(sz),
+            row(mass))
     # softened runs (r2 >= eps2 > 0) take the guard-free kernel
     out = jax.lax.cond(
         scal[0, 0] > 0.0,

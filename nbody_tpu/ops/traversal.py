@@ -251,7 +251,7 @@ class BHConfig:
             base = dict(group_size=4096, subgroups=64, block_dual=True,
                         dual_margin=1.2, near_particle_cap=2048,
                         window_pad=1024)
-        else:
+        elif n <= 1048576:
             # round-3 sweep (dual_r3.jsonl): block-dual + near cap
             # 8192 -> 512 = 4.006 -> 5.61 steps/s @1M (+40%), 9.98 -> 10.31
             # @524k, 2.77 -> 2.95 @2M, with p99 force error 3.061e-2 vs
@@ -263,18 +263,32 @@ class BHConfig:
             # gate (dual_n256 p99 3.059e-2) but the gain is noise-level,
             # so the conservative 512 ships.
             # window_pad 2048 -> 512 (round-3h): 5.61 -> 6.128 @1M (+9%),
-            # 10.31 -> 11.22 @524k, 2.95 -> 3.22 @2M; wp256 saturates
-            # (6.161).  The SAME cut LOST in round 2 (pl_g8_pad1024,
-            # tune_bh_r2.jsonl) because evicted near cells then bloated
-            # the 8192-row near gather; with cap 512 they land in exact-
-            # multipole fallbacks instead (near_fallback 8550 -> 10258,
-            # the priced §7 mechanism).  Gated on CPU at the tier config
+            # 10.31 -> 11.22 @524k; wp256 saturates (6.161).  The SAME
+            # cut LOST in round 2 (pl_g8_pad1024, tune_bh_r2.jsonl)
+            # because evicted near cells then bloated the 8192-row near
+            # gather; with cap 512 they land in exact-multipole fallbacks
+            # instead (near_fallback 8550 -> 10258, the priced §7
+            # mechanism).  Gated on CPU at the tier config
             # (accuracy_wp_cpu.jsonl) AND on TPU @1M: wp512 p99 1.11x the
             # pre-wp row, inside the <=2x criterion (accuracy_1m.jsonl
             # dual_wp512 row — VALIDATION.md §9).
             base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)
+        else:
+            # >1M: the window-pad cut FAILS its accuracy gate at 2M
+            # (accuracy_large.jsonl defaults_2m: p99 6.997e-2 = 2.25x the
+            # wp2048 control's 3.108e-2, over the 5e-2 envelope —
+            # fallback pressure grows with N, near_fallback 10258 @1M ->
+            # 14910 @2M with wp512, and the correlated whole-cell
+            # multipole error it feeds no longer stays inside the 2x
+            # criterion).  The control config below PASSES the same gate,
+            # so the pad is restored above 1M at ~8-9% perf: 3.22 -> 2.95
+            # steps/s @2M, 1.60 -> 1.46 @4M (dual_r3.jsonl pre-wp rows).
+            # The near-cap cut stays: it gated flat at every probed N.
+            base = dict(group_size=8192, subgroups=128, block_dual=True,
+                        dual_margin=1.2, near_particle_cap=512,
+                        window_pad=2048)
         if profile == "accurate" and n > 32768:
             # restore ONLY the window pad: the drift-attribution split
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut

@@ -50,9 +50,20 @@ def append_record(path, rec):
     print(rec, flush=True)
 
 
-def run_gate(configs, n, out, ref, state, params, extra_fields=None):
+def sample_alive(state, k, seed=11):
+    """k alive row indices (int32, sorted) for sampled-target gating."""
+    alive = np.asarray(state.effective_mass()) > 0
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(np.flatnonzero(alive), size=k, replace=False)
+    return np.sort(idx).astype(np.int32)
+
+
+def run_gate(configs, n, out, ref, state, params, extra_fields=None,
+             sample_idx=None):
     """Gate every config in ``configs`` (name -> auto_for overrides) not yet
-    in ``out`` against the precomputed exact reference ``ref`` [N, 3].
+    in ``out`` against the precomputed exact reference ``ref`` [N, 3] — or,
+    with ``sample_idx`` [K], a sampled-target reference [K, 3] (rows of the
+    BH result are gathered at those indices; indices must be alive rows).
 
     Sync is a host transfer of the first element (``float(acc[0, 0])``) —
     reliable under the axon relay where block_until_ready is not
@@ -65,7 +76,10 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None):
     m = state.effective_mass()
     r = np.asarray(ref)
     rn = np.linalg.norm(r, axis=1)
-    alive = np.asarray(m) > 0
+    if sample_idx is None:
+        alive = np.asarray(m) > 0
+    else:
+        alive = np.ones(len(sample_idx), dtype=bool)
 
     for name, opts in configs.items():
         if name in done:
@@ -76,6 +90,8 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None):
                               params.g, params.g_soft, cfg)
         float(acc[0, 0])
         a = np.asarray(acc)
+        if sample_idx is not None:
+            a = a[sample_idx]
         err = np.linalg.norm(a - r, axis=1)[alive] / np.maximum(
             rn[alive], 1e-30)
         rec = {
@@ -89,6 +105,8 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None):
             "wall_s": round(time.perf_counter() - t0, 1),
             "ts": time.time(),
         }
+        if sample_idx is not None:
+            rec["sampled"] = int(len(sample_idx))
         if extra_fields is not None:
             rec.update(extra_fields(stats))
         append_record(out, rec)

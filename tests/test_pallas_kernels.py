@@ -50,6 +50,25 @@ def test_pairwise_pallas_interpret_matches_dense(kill):
     assert _rel_err(got, ref) < 1e-4
 
 
+def test_pairwise_pallas_targets_matches_full_rows():
+    """Sampled-target oracle == the corresponding rows of the full kernel
+    (bitwise: same kernel, same j-tile accumulation order), including
+    targets that coincide with sources (self-pair contributes +0.0) and a
+    target count that is not a multiple of the default tile."""
+    state, params = _disc_state(500, capacity=512)
+    m = state.effective_mass().astype(jnp.float32)
+    pos = state.pos.astype(jnp.float32)
+    full = pairwise_acc_pallas(pos, m, params.g, params.g_soft,
+                               tile_i=128, tile_j=128, interpret=True)
+    idx = jnp.asarray(np.random.default_rng(3).choice(512, 256,
+                                                      replace=False))
+    from nbody_tpu.ops.pairwise import pairwise_acc_pallas_targets
+    got = pairwise_acc_pallas_targets(pos[idx], pos, m, params.g,
+                                      params.g_soft, tile_i=128,
+                                      tile_j=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full)[idx])
+
+
 def test_pairwise_pallas_mxu_interpret_matches_dense():
     """The MXU kernel contract requires Morton-sorted input (its recentred
     norm-trick anchors assume spatially compact tiles — the brute-pallas-mxu

@@ -98,6 +98,12 @@ def test_auto_group_presets():
     assert BHConfig.auto_for(1 << 20).group_size == 8192
     assert BHConfig.auto_for(1 << 20).subgroups == 128
     assert BHConfig.auto_for(1 << 20, group_size=1024).group_size == 1024
+    # window-pad cut is gated to <=1M: it passed its TPU accuracy gate at
+    # 1M (p99 1.11x) but FAILED at 2M (p99 2.25x the wp2048 control,
+    # accuracy_large.jsonl) — above 1M the round-2 pad ships
+    assert BHConfig.auto_for(1 << 20).window_pad == 512
+    assert BHConfig.auto_for(1 << 21).window_pad == 2048
+    assert BHConfig.auto_for(1 << 22).near_particle_cap == 512
     # padded block size must stay group-aligned for the traversal reshape
     for n in (32768, 131072, 1 << 20):
         c = BHConfig.auto_for(n)
