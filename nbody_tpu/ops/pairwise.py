@@ -180,6 +180,199 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Newton-3 symmetric formulation: each unordered pair is evaluated ONCE.
+#
+# The N x N interaction square is symmetric (F_ij = -F_ji), which the
+# reference's serial loop exploits (src/manual/brute_force.rs:64-82 updates
+# both bodies per iteration) but the round-1/2 TPU kernels did not: the
+# (TI, 1) x (1, TJ) broadcast kernel evaluates every ORDERED pair, paying
+# ~19 VPU ops each.  The symmetric kernel tiles the square and classifies
+# tiles against the diagonal at tile granularity:
+#
+#   * bj >  bi // R  (strictly above the diagonal band): skipped — those
+#     ordered pairs are the mirrors of a dual tile below.
+#   * bj == bi // R  (the diagonal band, where the ti-row block lies inside
+#     the tj-col block, R = tj // ti): plain one-directional eval, exactly
+#     the ``_kernel`` body — self/coincident pairs vanish via d = 0.
+#   * bj <  bi // R  (strictly below): DUAL eval — one r^2/rsqrt pays for
+#     both directions: row sums accumulate force-on-targets (out1, indexed
+#     by bi like the plain kernel) and column sums accumulate the mirrored
+#     force-on-sources into a constant-index (8, N) accumulator (out2),
+#     written back once at the end of the grid.
+#
+# Per-lane cost rises ~19 -> ~26 VPU ops on dual tiles, but each dual lane
+# covers TWO ordered pairs -> ~0.7x total VPU work (the kernel is VPU
+# ALU-bound at ~83% of the f32 ceiling, VALIDATION.md §11, so op count is
+# wall time).  Tiles are (512, 1024) instead of the plain kernel's
+# (512, 2048): the dual body keeps ~6 (ti, tj) f32 temporaries live
+# (dx/dy/dz/ir3/s/product) and 2048-wide blocks would blow the ~16 MB
+# scoped-VMEM budget that already limits the quad kernel.
+# ---------------------------------------------------------------------------
+
+
+def _sym_tile_common(scal_ref, xi, yi, zi, xj, yj, zj, guard):
+    """Shared r^2 -> 1/r^3 for both tile classes.  Returns (dx, dy, dz, ir3)."""
+    eps2 = scal_ref[0, 0]
+    dx = xj[:] - xi[:]  # (TI, 1) x (1, TJ) -> (TI, TJ)
+    dy = yj[:] - yi[:]
+    dz = zj[:] - zi[:]
+    r2 = dx * dx + dy * dy + dz * dz + eps2
+    if guard:
+        # exact-coincident guard only (see _kernel); scale-safe
+        r2 = jnp.where(r2 > 0.0, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2)
+    return dx, dy, dz, inv_r * inv_r * inv_r
+
+
+def _kernel_sym(scal_ref, xi, yi, zi, mi, xj, yj, zj, mj, out1, out2, *,
+                guard, ratio, tile_j):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+
+    @pl.when(bj == 0)
+    def _():
+        out1[:] = jnp.zeros_like(out1)
+
+    @pl.when((bi == 0) & (bj == 0))
+    def _():
+        out2[:] = jnp.zeros_like(out2)
+
+    band = bi // ratio
+
+    @pl.when(bj == band)
+    def _():
+        # diagonal band: the row block lies inside the col block — evaluate
+        # one-directionally (every ordered pair of this tile is native here)
+        dx, dy, dz, ir3 = _sym_tile_common(
+            scal_ref, xi, yi, zi, xj, yj, zj, guard)
+        s = ir3 * mj[:]
+        out1[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+        out1[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+        out1[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+
+    @pl.when(bj < band)
+    def _():
+        # strictly-below tile: one eval serves both directions
+        dx, dy, dz, ir3 = _sym_tile_common(
+            scal_ref, xi, yi, zi, xj, yj, zj, guard)
+        s = ir3 * mj[:]
+        out1[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+        out1[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+        out1[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+        # mirrored: force on the SOURCES from the targets = -sum_i mi*ir3*d
+        sc = ir3 * mi[:]
+        c = pl.ds(bj * tile_j, tile_j)
+        out2[0:1, c] -= jnp.sum(sc * dx, axis=0, keepdims=True)
+        out2[1:2, c] -= jnp.sum(sc * dy, axis=0, keepdims=True)
+        out2[2:3, c] -= jnp.sum(sc * dz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pairwise_acc_pallas_sym(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
+                            interpret=False):
+    """Newton-3 all-pairs kernel: same semantics as ``pairwise_acc_pallas``
+    (every pair still softened/guarded identically; summation ORDER differs,
+    so results agree to f32 rounding, not bitwise).  The mirrored column
+    accumulator is a VMEM-resident (8, N) buffer, so N is capped by VMEM —
+    callers above ``_SYM_MAX_N`` should use the plain kernel."""
+    if pos.shape[1] != 3:
+        raise ValueError(
+            f"brute-pallas supports 3D states only, got D={pos.shape[1]}; "
+            "use engine='brute' or 'bh' for 2D"
+        )
+    n = pos.shape[0]
+    dtype = pos.dtype
+    while tile_i > 128 and n % tile_i:
+        tile_i //= 2
+    while tile_j > 128 and n % tile_j:
+        tile_j //= 2
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, n)
+    if tile_j % tile_i:
+        tile_i = tile_j = min(tile_i, tile_j)
+    ratio = tile_j // tile_i
+    assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)
+
+    col = lambda a: a.reshape(n, 1)
+    row = lambda a: a.reshape(1, n)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
+    grid = (n // tile_i, n // tile_j)
+
+    def call(guard):
+        return pl.pallas_call(
+            functools.partial(_kernel_sym, guard=guard, ratio=ratio,
+                              tile_j=tile_j),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                # mirrored accumulator: whole-array block, constant index —
+                # stays VMEM-resident across the grid, written back once
+                pl.BlockSpec((8, n), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 8), dtype),
+                jax.ShapeDtypeStruct((8, n), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(n) * int(n) * 13,
+                bytes_accessed=int(n) * 4 * 4 * 2 + int(n) * 8 * 4,
+                transcendentals=int(n) * int(n) // 2,
+            ),
+            interpret=interpret,
+        )
+
+    args = (scal, col(x), col(y), col(z), col(mass),
+            row(x), row(y), row(z), row(mass))
+    out1, out2 = jax.lax.cond(
+        scal[0, 0] > 0.0,
+        lambda a: call(False)(*a),
+        lambda a: call(True)(*a),
+        args,
+    )
+    return (out1[:, :3] + out2[:3, :].T) * g
+
+
+# (8, N) f32 mirror accumulator + ~12 MB of dual-tile temporaries must fit
+# VMEM; 256k (8 MB accumulator) compiles, 512k does not.  Brute is only
+# competitive below the ~55k bh crossover anyway (results/crossover_r3.jsonl).
+_SYM_MAX_N = 262144
+
+
+def _force_sym(pos, mass, params: SimParams):
+    if pos.shape[0] > _SYM_MAX_N:
+        return pairwise_acc_pallas(pos, mass, params.g, params.g_soft)
+    return pairwise_acc_pallas_sym(pos, mass, params.g, params.g_soft)
+
+
+register(
+    Engine(
+        name="brute-pallas-sym",
+        force=_force_sym,
+        description="O(N^2) direct sum, Newton-3 symmetric Pallas kernel "
+        "(each unordered pair evaluated once; mirrors "
+        "src/manual/brute_force.rs:64-82's dual update, TPU-tiled)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # MXU formulation: push the per-pair arithmetic onto the systolic array.
 #
 #   r^2_ij = |p_i - c|^2 + |p_j - c|^2 - 2 (p_i - c).(p_j - c) + eps^2

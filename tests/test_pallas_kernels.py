@@ -50,6 +50,72 @@ def test_pairwise_pallas_interpret_matches_dense(kill):
     assert _rel_err(got, ref) < 1e-4
 
 
+@pytest.mark.parametrize("kill", [0, 37])
+@pytest.mark.parametrize("tiles", [(128, 128), (128, 256)])
+def test_pairwise_pallas_sym_matches_dense(kill, tiles):
+    """Newton-3 symmetric kernel == force_dense across both tile classes
+    (equal tiles: ratio 1; rectangular: ratio 2 exercises the diagonal-band
+    classification), incl. dead/padding masking.  capacity 1024 with 128-row
+    tiles gives 8x8 (or 8x4) tile grids, so dual, band, and skipped tiles
+    all occur."""
+    from nbody_tpu.ops.pairwise import pairwise_acc_pallas_sym
+    ti, tj = tiles
+    state, params = _disc_state(1000, capacity=1024, kill=kill)
+    m = state.effective_mass().astype(jnp.float32)
+    pos = state.pos.astype(jnp.float32)
+    ref = force_dense(pos, m, params)
+    got = pairwise_acc_pallas_sym(pos, m, params.g, params.g_soft,
+                                  tile_i=ti, tile_j=tj, interpret=True)
+    assert _rel_err(got, ref) < 1e-4
+
+
+def test_pairwise_pallas_sym_unsoftened_guard():
+    """g_soft = 0 takes the guarded kernel: coincident pairs (dead particles
+    parked at the origin) contribute exactly zero through the d = 0 path in
+    BOTH the row and the mirrored column accumulation."""
+    from nbody_tpu.ops.pairwise import pairwise_acc_pallas_sym
+    state, params = _disc_state(1000, capacity=1024, kill=64)
+    params = dataclasses.replace(params, g_soft=jnp.float32(0.0))
+    m = state.effective_mass().astype(jnp.float32)
+    pos = state.pos.astype(jnp.float32)
+    ref = force_dense(pos, m, params)
+    got = pairwise_acc_pallas_sym(pos, m, params.g, params.g_soft,
+                                  tile_i=128, tile_j=256, interpret=True)
+    assert np.all(np.isfinite(np.asarray(got)))
+    # unsoftened near-coincident pairs make force magnitudes span decades,
+    # so gate PER-ROW relative error (a global max-diff/mean-scale metric is
+    # dominated by f32 rounding on the singular rows)
+    g_np, r_np = np.asarray(got), np.asarray(ref)
+    rel = np.linalg.norm(g_np - r_np, axis=1) / np.maximum(
+        np.linalg.norm(r_np, axis=1), 1e-30)
+    alive = np.asarray(state.alive)
+    # the PLAIN kernel shows 1.0e-4 on this same scene vs dense (rows whose
+    # force nearly cancels between huge unsoftened contributions amplify
+    # f32 summation-order noise) — 1e-3 bounds the sym kernel's different
+    # accumulation order without masking a real sign/coverage bug
+    assert float(rel[alive].max()) < 1e-3
+    # dead particles are mutually coincident at the origin: their pair
+    # contributions vanish via d = 0 (no NaN/Inf), but alive sources still
+    # pull them, matching dense semantics (the stepper freezes them later)
+    dead = ~alive
+    assert np.allclose(g_np[dead], r_np[dead], rtol=1e-3, atol=1e-7)
+
+
+def test_pairwise_pallas_sym_momentum_conservation():
+    """Newton-3 pairs are antisymmetric by construction, so total momentum
+    flux sums to ~0 even in f32 (the dual tiles contribute EXACTLY
+    antisymmetric updates; only band tiles round independently)."""
+    from nbody_tpu.ops.pairwise import pairwise_acc_pallas_sym
+    state, params = _disc_state(1000, capacity=1024)
+    m = state.effective_mass().astype(jnp.float32)
+    pos = state.pos.astype(jnp.float32)
+    got = pairwise_acc_pallas_sym(pos, m, params.g, params.g_soft,
+                                  tile_i=128, tile_j=256, interpret=True)
+    net = np.asarray(jnp.sum(got * m[:, None], axis=0))
+    scale = float(jnp.sum(jnp.abs(got) * m[:, None]))
+    assert np.all(np.abs(net) < 1e-5 * scale)
+
+
 def test_pairwise_pallas_targets_matches_full_rows():
     """Sampled-target oracle == the corresponding rows of the full kernel
     (bitwise: same kernel, same j-tile accumulation order), including
