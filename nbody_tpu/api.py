@@ -48,14 +48,15 @@ from nbody_tpu.engines import Engine, get_engine
 
 def resolve_auto_engine(n: int) -> str:
     """Engine choice for ``engine="auto"`` — the measured single-chip
-    crossover on the v8 fused engine path (results/crossover_r3.jsonl,
-    round 3): direct sum 72.9 vs tree 64.9 steps/s at N=49k, 42.2 vs 51.2
-    at 64k — log-interpolated equality at ~55k.  (Round 1 measured ~95k;
-    the tree engine gained ~2.8x since, the brute kernel ~1.2x.)
+    crossover on the fused engine path (results/crossover_r3b.jsonl,
+    round 3 after the Newton-3 symmetric brute kernel): direct sum 96.2
+    vs tree 72.3 steps/s at N=49k, 54.6 vs 59.4 at 64k —
+    log-interpolated equality at ~60k.  (Round 1 measured ~95k, round 3
+    pre-sym ~55k.)
     (The reference selects engines by editing main.rs, src/main.rs:91-101.)"""
-    if jax.default_backend() == "cpu" and n <= 55000:
+    if jax.default_backend() == "cpu" and n <= 60000:
         return "brute"  # the Pallas kernel is TPU-only
-    return "brute-pallas" if n <= 55000 else "bh"
+    return "brute-pallas" if n <= 60000 else "bh"
 
 
 class Simulation:

@@ -180,6 +180,170 @@ def _quad_kernel(scal_ref, tgt_ref, src_ref, out_ref, *, guard):
         out_ref[:, 2:3] += jnp.sum(w * ez - ir5 * uz, axis=1, keepdims=True)
 
 
+def _self_kernel_sym(scal_ref, t8_ref, mi_ref, xj, yj, zj, mj, out1, out2, *,
+                     guard, ratio, tile_j):
+    """Newton-3 symmetric eval of a group against ITSELF (cfg.near_sym).
+
+    Same diagonal-band tile classification as the brute-force sym kernel
+    (ops/pairwise.py _kernel_sym): tiles strictly below the band evaluate
+    one r^2/rsqrt per unordered pair and accumulate BOTH directions — row
+    sums into the per-(group, target-tile) output, mirrored column sums
+    into a per-group (8, B) accumulator resident in VMEM while the group's
+    tiles stream (the group grid dim is outermost, so the block is visited
+    consecutively and written back once per group).
+
+    ``mj``/``mi`` are the WINDOW-MASKED masses (mass zeroed for rows whose
+    cell is not window-covered — those pairs ride the near/fb paths), NOT
+    the raw target masses: using the masked mass as the weight in both
+    directions reproduces the asymmetric window pass exactly (the force ON
+    a masked particle from a covered one is the covered particle's column
+    contribution, which carries the covered particle's mask — its own mask
+    only gates its role as a SOURCE)."""
+    bi = pl.program_id(1)
+    bj = pl.program_id(2)
+
+    @pl.when(bj == 0)
+    def _():
+        out1[:] = jnp.zeros_like(out1)
+
+    @pl.when((bi == 0) & (bj == 0))
+    def _():
+        out2[:] = jnp.zeros_like(out2)
+
+    band = bi // ratio
+
+    def common():
+        eps2 = scal_ref[0, 0]
+        dx = xj[:] - t8_ref[:, 0:1]  # (TI, 1) x (1, TJ) -> (TI, TJ)
+        dy = yj[:] - t8_ref[:, 1:2]
+        dz = zj[:] - t8_ref[:, 2:3]
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        if guard:
+            r2 = jnp.where(r2 > 0.0, r2, 1.0)  # exact-coincident only
+        inv_r = jax.lax.rsqrt(r2)
+        return dx, dy, dz, inv_r * inv_r * inv_r
+
+    @pl.when(bj == band)
+    def _():
+        # diagonal band: one-directional (self-pairs vanish via d = 0)
+        dx, dy, dz, ir3 = common()
+        s = ir3 * mj[:]
+        out1[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+        out1[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+        out1[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+
+    @pl.when(bj < band)
+    def _():
+        dx, dy, dz, ir3 = common()
+        s = ir3 * mj[:]
+        out1[:, 0:1] += jnp.sum(s * dx, axis=1, keepdims=True)
+        out1[:, 1:2] += jnp.sum(s * dy, axis=1, keepdims=True)
+        out1[:, 2:3] += jnp.sum(s * dz, axis=1, keepdims=True)
+        sc = ir3 * mi_ref[:]
+        c = pl.ds(bj * tile_j, tile_j)
+        out2[0:1, c] -= jnp.sum(sc * dx, axis=0, keepdims=True)
+        out2[1:2, c] -= jnp.sum(sc * dy, axis=0, keepdims=True)
+        out2[2:3, c] -= jnp.sum(sc * dz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def group_self_force_pallas(tgt8, msrc, g, g_soft, *, tile_i: int = 512,
+                            tile_j: int = 1024, interpret: bool = False):
+    """tgt8 [G, B, 8] group rows, msrc [G, B] window-masked source masses ->
+    acc [G, B, 3]: each group's Newton-3 symmetric self-interaction square
+    (the central B columns of the old window slab, evaluated once per
+    unordered pair instead of twice — cfg.near_sym)."""
+    G, B, _ = tgt8.shape
+    dtype = tgt8.dtype
+    while tile_i > 128 and B % tile_i:
+        tile_i //= 2
+    while tile_j > 128 and B % tile_j:
+        tile_j //= 2
+    tile_i = min(tile_i, B)
+    tile_j = min(tile_j, B)
+    if tile_j % tile_i:
+        tile_i = tile_j = min(tile_i, tile_j)
+    ratio = tile_j // tile_i
+    assert B % tile_i == 0 and B % tile_j == 0, (B, tile_i, tile_j)
+    bt = B // tile_i
+    st = B // tile_j
+    scal = jnp.broadcast_to(g_soft * g_soft, (1, 128)).astype(dtype)
+
+    # source-row views of the same particles, flattened to (1, G*B): Mosaic
+    # requires the last two block dims divisible by (8, 128) OR equal to
+    # the array dims — a (1, tile_j) block on a [G, B] array is rejected by
+    # the real lowering (interpret mode accepts it), so the group dimension
+    # rides the index map ((0, gi*st + j)) over a width-1 array instead
+    xs = tgt8[..., 0].reshape(1, G * B)
+    ys = tgt8[..., 1].reshape(1, G * B)
+    zs = tgt8[..., 2].reshape(1, G * B)
+    mrow = msrc.reshape(1, G * B)
+
+    def call(guard):
+        return pl.pallas_call(
+            functools.partial(_self_kernel_sym, guard=guard, ratio=ratio,
+                              tile_j=tile_j),
+            grid=(G, bt, st),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda gi, bi, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 8),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j),
+                             lambda gi, bi, j, st=st: (0, gi * st + j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j),
+                             lambda gi, bi, j, st=st: (0, gi * st + j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j),
+                             lambda gi, bi, j, st=st: (0, gi * st + j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j),
+                             lambda gi, bi, j, st=st: (0, gi * st + j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 8),
+                             lambda gi, bi, j, bt=bt: (gi * bt + bi, 0),
+                             memory_space=pltpu.VMEM),
+                # per-group mirror accumulator: visited consecutively while
+                # the group's (bi, j) tiles stream, written back per group
+                pl.BlockSpec((8, B), lambda gi, bi, j: (gi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((G * B, 8), dtype),
+                jax.ShapeDtypeStruct((G * 8, B), dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(G) * int(B) * int(B) * 13,
+                bytes_accessed=int(G) * int(B) * (64 + 16),
+                transcendentals=int(G) * int(B) * int(B) // 2,
+            ),
+            interpret=interpret,
+        )
+
+    args = (scal, tgt8.reshape(G * B, 8), msrc.reshape(G * B, 1),
+            xs, ys, zs, mrow)
+    out1, out2 = jax.lax.cond(
+        scal[0, 0] > 0.0,
+        lambda a: call(False)(*a),
+        lambda a: call(True)(*a),
+        args,
+    )
+    acc = out1[:, :3].reshape(G, B, 3) + jnp.swapaxes(
+        out2.reshape(G, 8, B)[:, :3, :], 1, 2
+    )
+    return acc * g
+
+
 def fit_target_tile(B: int, tile: int, target_tile: int, cap: int) -> int:
     """The kernel's target-tile rows TI: divide B, and keep the (TI, tile)
     f32 temporaries inside the scoped-VMEM budget (``cap`` = max TI*tile).

@@ -166,6 +166,11 @@ def pairwise_acc_pallas_targets(pos_t, pos, mass, g, g_soft, *, tile_i=512,
 
 
 def _force(pos, mass, params: SimParams):
+    # Newton-3 symmetric kernel where its (8, N) VMEM mirror accumulator
+    # fits (1.28-1.33x measured, results/sym_kernel_tpu.jsonl; forces agree
+    # to 1.2e-6 max rel on TPU @64k — f32 summation order only)
+    if pos.shape[0] <= _SYM_MAX_N:
+        return pairwise_acc_pallas_sym(pos, mass, params.g, params.g_soft)
     return pairwise_acc_pallas(pos, mass, params.g, params.g_soft)
 
 
@@ -173,8 +178,9 @@ register(
     Engine(
         name="brute-pallas",
         force=_force,
-        description="O(N^2) direct sum, Pallas VMEM-tiled kernel "
-        "(replaces reference src/manual/brute_force.rs:64-82)",
+        description="O(N^2) direct sum, Pallas VMEM-tiled kernel, Newton-3 "
+        "symmetric below 256k (replaces reference "
+        "src/manual/brute_force.rs:64-82)",
     )
 )
 

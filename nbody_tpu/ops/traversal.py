@@ -159,6 +159,37 @@ class BHConfig:
     # Separate knob because dual approximates work that was previously
     # EXACT — tightening it buys back accuracy without touching the
     # tree walk's acceptance.
+    near_sym: bool = False  # Newton-3 symmetric evaluation of each group's
+    # SELF-interaction square (round 3, session 3).  The window slab's
+    # central B columns are the group's own particles, so every intra-group
+    # pair was evaluated twice (F_ij and F_ji) by the one-directional pair
+    # kernel — at the 1M defaults that square is ~89% of all near-field
+    # lane evals.  With near_sym, assembly splits the window into the
+    # central square + the two rim pads: the square runs through a
+    # dedicated symmetric kernel (ops/group_force.py group_self_force_
+    # pallas — one r²/rsqrt per unordered pair, dual accumulation),
+    # and the slab shrinks to [rim | near (| mono)].  Window-coverage
+    # semantics are UNCHANGED (same wmask, same near/fb routing): the
+    # masked masses weight both directions of the symmetric eval, so the
+    # force set is identical to the asymmetric path and results differ
+    # only by f32 summation order (tests/test_near_sym.py pins this in
+    # f64 to ~1e-12).  Not wired on the domain-decomposed path
+    # (parallel/domain.py assembles its own halo slab).
+    #
+    # MEASURED VERDICT (v5e, results/dual_r3.jsonl ns_* rows): LOSES at
+    # every N — 30.3 vs 33.3 @131k, 9.9 vs 11.2 @524k, 5.36 vs 6.13 @1M,
+    # 2.39 vs 2.95 @2M, 1.22 vs 1.46 @4M — and loses even with
+    # block_dual=False (5.41 vs 6.22 @1M), so the deficit is intrinsic,
+    # not just block-dual's intra-square tile skips (groups straddling
+    # Morton seams put ~half the square at accepted distance; the sym
+    # square pays those pairs exactly).  Mechanism: the dual-accumulation
+    # kernel's lane throughput is only ~0.64x the plain kernel's (extra
+    # mirror ops + smaller (512, 1024) tiles — same constant measured on
+    # the brute sym kernel, where it still wins because brute is 100%
+    # square with no dual/window interactions), so halving the lanes nets
+    # only ~0.78x on the square, and the split-kernel + rim-assembly
+    # overhead eats the remainder.  Kept (default OFF) as tested,
+    # documented machinery; don't re-enable without new data.
     wide: bool = False  # N >= 2^24 row format (domain path only): node
     # tables use the hi/lo range encoding (ops/tree.py decode_ranges),
     # fallback-cell containment switches from particle-index compare to the
@@ -1184,6 +1215,33 @@ def _dual_slab_eval(slab, tgt8, center, theta2, g, g_soft, cfg: BHConfig):
     return acc, n_dual
 
 
+def _self_square_eval(tgt8, mcen, g, g_soft, cfg: BHConfig):
+    """Each group vs itself with window-masked source masses ``mcen``
+    [G, B] (cfg.near_sym).  Pallas backend: the Newton-3 symmetric kernel;
+    XLA backend (CPU tests, f64): a plain maskless pair block — self-pairs
+    contribute zero via d = 0 exactly like the Pallas kernels, masked
+    sources via m = 0."""
+    if _resolve_eval_mode(cfg, tgt8.dtype) == "pallas":
+        from nbody_tpu.ops.group_force import group_self_force_pallas
+
+        return group_self_force_pallas(tgt8, mcen, g, g_soft)
+    G, B, _ = tgt8.shape
+    CG = cfg.chunk_groups
+
+    def body(args):
+        t8_c, m_c = args
+        return jax.vmap(
+            lambda t8, mc: _pair_block(
+                t8[:, :3], None, t8[:, :3], mc, None, mc != 0.0, g, g_soft,
+                None,
+            )
+        )(t8_c, m_c)
+
+    return jax.lax.map(
+        body, (tgt8.reshape(-1, CG, B, 8), mcen.reshape(-1, CG, B))
+    ).reshape(G, B, 3)
+
+
 def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
                tile=None):
     """One fused interaction pass: every group's targets vs its assembled
@@ -1367,13 +1425,35 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     )
 
     # ---- slab assembly: window slice + near gather + multipole slab ----
-    wrows = jax.vmap(
-        lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)), (W, 8))
-    )(wstart)  # [G, W, 8]
-    wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
     nrows = pmass8[pidx]  # [G, P, 8]
     nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
     tgt8 = cgp8.reshape(G_my, B, 8)
+    if cfg.near_sym:
+        # split the window into the group's own central square + the two
+        # rim pads (coverage/wmask semantics unchanged — see BHConfig).
+        # The central columns [off, off+B) of the window ARE the group:
+        # off = gstart - wstart, always in [0, W - B] by the wstart clip.
+        gstart = cgi.reshape(G_my, B)[:, 0]
+        off = (gstart - wstart).astype(jnp.int32)  # [G]
+        R = W - B  # static rim width (2*window_pad away from array edges)
+        k = jnp.arange(R, dtype=jnp.int32)
+        rimrel = k[None, :] + B * (k[None, :] >= off[:, None])  # [G, R]
+        rrows = pmass8[wstart[:, None] + rimrel]  # [G, R, 8]
+        rmask = jnp.take_along_axis(wmask, rimrel, axis=1)
+        rrows = rrows.at[:, :, 3].set(jnp.where(rmask, rrows[:, :, 3], 0.0))
+        # central source weights: the group's own masses under the window
+        # coverage mask (uncovered members ride near/fb as sources instead)
+        cen = off[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
+        mcen = jnp.where(jnp.take_along_axis(wmask, cen, axis=1),
+                         tgt8[:, :, 3], 0.0)
+        wrows = rrows
+    else:
+        wrows = jax.vmap(
+            lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),
+                                             (W, 8))
+        )(wstart)  # [G, W, 8]
+        wrows = wrows.at[:, :, 3].set(
+            jnp.where(wmask, wrows[:, :, 3], 0.0))
     if cfg.multipole == "quad":
         # particle sources (exact) through the pair kernel; accepted nodes
         # through the separate quadrupole kernel (16-wide rows)
@@ -1387,6 +1467,8 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     acc_main, n_dual = _dual_slab_eval(
         slab, tgt8, center, theta2, g, g_soft, cfg
     )
+    if cfg.near_sym:
+        acc_main = acc_main + _self_square_eval(tgt8, mcen, g, g_soft, cfg)
 
     if cfg.multipole == "quad":
         goffs = jnp.array(

@@ -280,6 +280,11 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     wide = wide_ranges(n_tot, pos_loc.dtype)
     if wide and not cfg.wide:
         cfg = dataclasses.replace(cfg, wide=True)
+    if cfg.near_sym:
+        # the domain path assembles its own halo slab below and does not
+        # implement the split-window symmetric square; drop the flag so a
+        # preset carrying it (auto_for) keeps the proven asymmetric eval
+        cfg = dataclasses.replace(cfg, near_sym=False)
     B = cfg.group_size
     assert n_loc % B == 0, (n_loc, B)
     # clamp the walk/eval chunk width to the per-chip group count (auto

@@ -196,6 +196,42 @@ CASES = [
     ("quad_524k_dual", 1 << 19, dict(block_dual=True)),
     ("quad_2m_dual", 1 << 21, dict(block_dual=True)),
     ("quad_4m_dual", 1 << 22, dict(block_dual=True)),
+    # round-3 session-3: Newton-3 symmetric self-square (cfg.near_sym) vs
+    # fresh same-session controls at the shipped tier defaults.  The sym
+    # path splits the window into rims + a symmetric central square
+    # (group_self_force_pallas) — identical force set (tests/test_near_sym
+    # f64 proof), so these rows are pure perf.
+    ("ns_131k_base", 1 << 17, dict()),
+    ("ns_131k_sym", 1 << 17, dict(near_sym=True)),
+    ("ns_524k_base", 1 << 19, dict()),
+    ("ns_524k_sym", 1 << 19, dict(near_sym=True)),
+    ("ns_1m_base", 1 << 20, dict()),
+    ("ns_1m_sym", 1 << 20, dict(near_sym=True)),
+    ("ns_2m_base", 1 << 21, dict()),
+    ("ns_2m_sym", 1 << 21, dict(near_sym=True)),
+    ("ns_4m_base", 1 << 22, dict()),
+    ("ns_4m_sym", 1 << 22, dict(near_sym=True)),
+    # isolation: how much of the sym loss is block-dual's intra-square tile
+    # skips (which the sym square pays exactly)?  No-dual pairs quantify
+    # the raw symmetric saving on the full square.
+    ("ns_1m_basend", 1 << 20, dict(block_dual=False)),
+    ("ns_1m_symnd", 1 << 20, dict(block_dual=False, near_sym=True)),
+    # block-dual value re-check at the SHIPPED cut defaults (ns_1m_basend
+    # 6.22 vs ns_1m_base 6.13 hinted dual may be free-to-negative now that
+    # the cap/pad cuts shrank the slab it used to prune).  Back-to-back
+    # A/B pairs, two repeats at 1M, all tiers.
+    ("dv_131k_dual", 1 << 17, dict()),
+    ("dv_131k_nd", 1 << 17, dict(block_dual=False)),
+    ("dv_524k_dual", 1 << 19, dict()),
+    ("dv_524k_nd", 1 << 19, dict(block_dual=False)),
+    ("dv_1m_dual", 1 << 20, dict()),
+    ("dv_1m_nd", 1 << 20, dict(block_dual=False)),
+    ("dv_1m_dual2", 1 << 20, dict()),
+    ("dv_1m_nd2", 1 << 20, dict(block_dual=False)),
+    ("dv_2m_dual", 1 << 21, dict()),
+    ("dv_2m_nd", 1 << 21, dict(block_dual=False)),
+    ("dv_4m_dual", 1 << 22, dict()),
+    ("dv_4m_nd", 1 << 22, dict(block_dual=False)),
 ]
 
 
@@ -255,6 +291,7 @@ def main():
                     "window_pad": rcfg.window_pad,
                     "eval_tile": rcfg.eval_tile,
                     "multipole": rcfg.multipole,
+                    "near_sym": rcfg.near_sym,
                     "chunk_groups": rcfg.chunk_groups},
         }
         if want_stats:

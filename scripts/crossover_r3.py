@@ -23,8 +23,11 @@ from nbody_tpu.core.stepper import make_run
 from nbody_tpu.engines import get_engine
 from nbody_tpu.scenes import self_gravitating_disc
 
+# optional argv[1] suffix starts a fresh sweep file (e.g. "b" after an
+# engine change invalidates the old rows' skip cache)
+_SUF = sys.argv[1] if len(sys.argv) > 1 else ""
 OUT = os.path.join(os.path.dirname(__file__), "..", "results",
-                   "crossover_r3.jsonl")
+                   f"crossover_r3{_SUF}.jsonl")
 STEPS = 50
 NS = [1 << 15, 49152, 1 << 16, 81920, 100352, 1 << 17]
 ENGINES = ["brute-pallas", "bh"]

@@ -34,11 +34,14 @@ from nbody_tpu.core.stepper import make_run
 from nbody_tpu.engines import get_engine
 from nbody_tpu.scenes import self_gravitating_disc
 
-# (name, engine, n, steps, min_steps_per_s) — floors are ~0.5x the round-2
-# measured rates (41 @64k brute-pallas, 25.5 @131k bh-quad)
+# (name, engine, n, steps, min_steps_per_s) — floors are ~0.5x the measured
+# rates with generous tunnel-noise headroom (round 3: 54.5 @64k
+# brute-pallas after the Newton-3 sym kernel, 33.3 @131k bh-quad+dual);
+# a floor trip means a REGRESSION (e.g. the sym kernel silently falling
+# back), not noise
 CASES = [
-    ("brute-pallas@64k", "brute-pallas", 1 << 16, 25, 15.0),
-    ("bh-quad@131k", "bh", 1 << 17, 10, 10.0),
+    ("brute-pallas@64k", "brute-pallas", 1 << 16, 25, 30.0),
+    ("bh-quad@131k", "bh", 1 << 17, 10, 16.0),
 ]
 
 
