@@ -303,7 +303,17 @@ class BHConfig:
             # (accuracy_wp_cpu.jsonl) AND on TPU @1M: wp512 p99 1.11x the
             # pre-wp row, inside the <=2x criterion (accuracy_1m.jsonl
             # dual_wp512 row — VALIDATION.md §9).
-            base = dict(group_size=8192, subgroups=128, block_dual=True,
+            # block_dual OFF in this tier (round-3 session-3 re-check,
+            # dual_r3.jsonl dv_* back-to-back pairs): with the wp512/cap512
+            # cuts the slab is ~1 tile of rims+near beyond the group square,
+            # so dual's skippable surface is gone — nodual measures 6.21 vs
+            # 6.13 @1M (two consistent repeats) and 11.28 vs 11.23 @524k,
+            # and the accepted tiles' quadrupole approximation reverts to
+            # exact pair work (accuracy strictly improves).  Dual still
+            # EARNS where the window is large: +3.3% @131k (wp1024 tier)
+            # and +5.9% @2M (wp2048 tier) — kept there, and restored below
+            # when 'accurate' re-widens this tier's window to 2048.
+            base = dict(group_size=8192, subgroups=128, block_dual=False,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)
         else:
@@ -325,8 +335,12 @@ class BHConfig:
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut
             # carries ~1.2e-3 of the 1.34e-3 drift while the cap cut adds
             # <1e-4 — (5.66 steps/s, 3.7e-4) dominates the full round-2
-            # restoration (4.28, 2.8e-4) on the measured Pareto frontier
-            base.update(window_pad=2048)
+            # restoration (4.28, 2.8e-4) on the measured Pareto frontier.
+            # block_dual rides along: at wp2048 windows it earns its keep
+            # (+5.9% @2M) and it was measured accuracy-free at every
+            # probed margin, so 'accurate' keeps it even in the tier whose
+            # 'fast' preset dropped it with the wp512 slab.
+            base.update(window_pad=2048, block_dual=True)
         # overrides apply BEFORE chunk_groups is fitted: a caller overriding
         # group_size must get a chunk count fitted to the FINAL group size,
         # not the preset's (ADVICE r2 #3 — the old order could pad a whole

@@ -170,7 +170,11 @@ def test_accuracy_profile_presets():
         acc = BHConfig.auto_for(n, profile="accurate")
         assert acc.near_particle_cap == fast.near_particle_cap
         assert acc.window_pad == 2048
-        assert acc.block_dual == fast.block_dual  # dual stays on
+        # 'accurate' always runs block_dual: accuracy-free at every probed
+        # margin, and it EARNS at wp2048 windows (+5.9% @2M) even in the
+        # 262k-1M tier whose 'fast' preset dropped it with the wp512 slab
+        # (dual_r3.jsonl dv_* pairs)
+        assert acc.block_dual
         assert acc.group_size == fast.group_size
         # same alignment invariants as the fast presets
         assert n % (acc.group_size * acc.chunk_groups) == 0
