@@ -168,8 +168,11 @@ def pairwise_acc_pallas_targets(pos_t, pos, mass, g, g_soft, *, tile_i=512,
 def _force(pos, mass, params: SimParams):
     # Newton-3 symmetric kernel where its (8, N) VMEM mirror accumulator
     # fits (1.28-1.33x measured, results/sym_kernel_tpu.jsonl; forces agree
-    # to 1.2e-6 max rel on TPU @64k — f32 summation order only)
-    if pos.shape[0] <= _SYM_MAX_N:
+    # to 1.2e-6 max rel on TPU @64k — f32 summation order only).  Below
+    # ~4k the tile grid degenerates (128-row tiles, mostly diagonal band)
+    # and the plain kernel's simpler pipeline wins (12727 vs 12020 steps/s
+    # at N=1k, results/combined_sym_brute_r3.csv).
+    if 4096 <= pos.shape[0] <= _SYM_MAX_N:
         return pairwise_acc_pallas_sym(pos, mass, params.g, params.g_soft)
     return pairwise_acc_pallas(pos, mass, params.g, params.g_soft)
 

@@ -316,17 +316,30 @@ class BHConfig:
             base = dict(group_size=8192, subgroups=128, block_dual=False,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=512)
+        elif n <= (1 << 21):
+            # 1M-2M: the FULL window-pad cut (512) fails its accuracy gate
+            # at 2M (accuracy_large.jsonl defaults_2m: p99 6.997e-2 = 2.25x
+            # the wp2048 control's 3.108e-2) but the wp1024 middle ground
+            # PASSES (wp1024_2m_sampled p99 3.550e-2 = 1.14x, same sampled
+            # protocol) and earns +5.9%: 3.118 vs 2.945 steps/s @2M
+            # (dual_r3.jsonl wp_2m_wp1024 vs dv_2m_dual, session-3).  Cap
+            # raises don't help — c2048 loses perf (2.772) for a noise-level
+            # p99 move.  block_dual stays ON: the wp1024 slab still has a
+            # skippable rim surface (unlike the wp512 tier above) and dual
+            # measured +5.9% @2M at wp2048 / rode along at wp1024.
+            base = dict(group_size=8192, subgroups=128, block_dual=True,
+                        dual_margin=1.2, near_particle_cap=512,
+                        window_pad=1024)
         else:
-            # >1M: the window-pad cut FAILS its accuracy gate at 2M
-            # (accuracy_large.jsonl defaults_2m: p99 6.997e-2 = 2.25x the
-            # wp2048 control's 3.108e-2, over the 5e-2 envelope —
-            # fallback pressure grows with N, near_fallback 10258 @1M ->
-            # 14910 @2M with wp512, and the correlated whole-cell
-            # multipole error it feeds no longer stays inside the 2x
-            # criterion).  The control config below PASSES the same gate,
-            # so the pad is restored above 1M at ~8-9% perf: 3.22 -> 2.95
-            # steps/s @2M, 1.60 -> 1.46 @4M (dual_r3.jsonl pre-wp rows).
-            # The near-cap cut stays: it gated flat at every probed N.
+            # >2M: every probed pad cut FAILS the sampled accuracy gate at
+            # 4M — wp512 2.67x, wp1024 2.28x (accuracy_large.jsonl
+            # wp512_4m/wp1024_4m vs defaults_4m p99 4.828e-2) — fallback
+            # pressure grows with N (near_fallback 14k @2M -> 21k @4M) and
+            # the correlated whole-cell multipole error it feeds leaves the
+            # 2x criterion.  The round-2 pad ships: 1.46 steps/s @4M
+            # (dual_r3.jsonl pre-wp rows; the retracted cuts measured
+            # 1.60/1.55).  The near-cap cut stays: it gated flat at every
+            # probed N.
             base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=2048)

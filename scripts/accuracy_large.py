@@ -44,6 +44,15 @@ PLANS = [
                                         dict(window_pad=512)}),
     ("4m", 1 << 22, False, {"defaults_4m": {},
                             "wp512_4m": dict(window_pad=512)}),
+    # round-3 session-3: the wp1024 middle ground (wp512 failed at 2.25x,
+    # wp2048 ships) + cap-raise interaction (the 2M failure was fallback-
+    # pressure driven).  Sampled gates, controls already on file.
+    ("2m_wp1024", 1 << 21, False, {
+        "wp1024_2m_sampled": dict(window_pad=1024),
+        "wp1024_c2048_2m_sampled": dict(window_pad=1024,
+                                        near_particle_cap=2048),
+        "c2048_2m_sampled": dict(near_particle_cap=2048)}),
+    ("4m_wp1024", 1 << 22, False, {"wp1024_4m": dict(window_pad=1024)}),
 ]
 
 

@@ -232,6 +232,15 @@ CASES = [
     ("dv_2m_nd", 1 << 21, dict(block_dual=False)),
     ("dv_4m_dual", 1 << 22, dict()),
     ("dv_4m_nd", 1 << 22, dict(block_dual=False)),
+    # >1M window-pad middle ground: wp512 failed its 2M gate (2.25x),
+    # wp2048 ships — wp1024 was never probed there.  Cap interactions too:
+    # the 2M gate failure was fallback-pressure driven, so a cap raise may
+    # relieve it.  Controls: dv_2m_dual (wp2048/cap512) = 2.945.
+    ("wp_2m_wp1024", 1 << 21, dict(window_pad=1024)),
+    ("wp_2m_wp1024_c2048", 1 << 21,
+     dict(window_pad=1024, near_particle_cap=2048)),
+    ("wp_2m_c2048", 1 << 21, dict(near_particle_cap=2048)),
+    ("wp_4m_wp1024", 1 << 22, dict(window_pad=1024)),
 ]
 
 

@@ -98,11 +98,12 @@ def test_auto_group_presets():
     assert BHConfig.auto_for(1 << 20).group_size == 8192
     assert BHConfig.auto_for(1 << 20).subgroups == 128
     assert BHConfig.auto_for(1 << 20, group_size=1024).group_size == 1024
-    # window-pad cut is gated to <=1M: it passed its TPU accuracy gate at
-    # 1M (p99 1.11x) but FAILED at 2M (p99 2.25x the wp2048 control,
-    # accuracy_large.jsonl) — above 1M the round-2 pad ships
+    # window-pad tiers: wp512 gated through 1M (p99 1.11x) but FAILED at
+    # 2M (2.25x); the wp1024 middle ground gated at 2M (1.14x) but FAILED
+    # at 4M (2.28x) — accuracy_large.jsonl.  So 512 / 1024 / 2048 by tier.
     assert BHConfig.auto_for(1 << 20).window_pad == 512
-    assert BHConfig.auto_for(1 << 21).window_pad == 2048
+    assert BHConfig.auto_for(1 << 21).window_pad == 1024
+    assert BHConfig.auto_for(1 << 22).window_pad == 2048
     assert BHConfig.auto_for(1 << 22).near_particle_cap == 512
     # padded block size must stay group-aligned for the traversal reshape
     for n in (32768, 131072, 1 << 20):
@@ -133,7 +134,8 @@ def test_auto_preset_shape_invariants():
     tiers and a spread of capacities, with and without block_dual."""
     from nbody_tpu.ops.traversal import BHConfig, _fit_eval_tile
 
-    for n in (1 << 15, 1 << 17, 1 << 18, 1 << 20, 1 << 22, 1 << 24):
+    for n in (1 << 15, 1 << 17, 1 << 18, 1 << 20, 1 << 21, 1 << 22,
+              1 << 24):
         c = BHConfig.auto_for(n)
         B = c.group_size
         # group/chunk alignment (traversal reshapes)
