@@ -241,6 +241,27 @@ CASES = [
      dict(window_pad=1024, near_particle_cap=2048)),
     ("wp_2m_c2048", 1 << 21, dict(near_particle_cap=2048)),
     ("wp_4m_wp1024", 1 << 22, dict(window_pad=1024)),
+    # session-3b: max_level 8 at >2M — the one unprobed lever in that
+    # tier.  Rationale: the pad cuts fail their 4M gates on FALLBACK
+    # PRESSURE (near_fallback 19-21k; correlated whole-cell multipole
+    # error), and at L=7 the 4M disc packs ~2 particles/leaf-cell column
+    # but hot disc-core cells are far denser.  L=8 shrinks near cells 8x
+    # so window/cap budgets cover whole cells again.  Risks priced in:
+    # the leaf build loses its prefix-path gate (n*4 >= 8^L fails at 4M)
+    # and the level-8 tables are 16.7M rows (~0.5 GB HBM).
+    ("ml8_4m", 1 << 22, dict(max_level=8)),
+    ("ml8_4m_wp1024", 1 << 22, dict(max_level=8, window_pad=1024)),
+    ("ml8_2m_wp512", 1 << 21, dict(max_level=8, window_pad=512)),
+    # session-3b: subgroup-count walk lever at the ROUND-3 step shape.
+    # The collect walk (34.2 ms of 164.5 @1M) is dominated by the
+    # [F, S, 3] box-distance tensor at the bottom-weighted frontier
+    # levels; S=64 halves that.  The old g8_s64_mxu probe washed, but at
+    # the round-2 700 ms step the walk was 5% of the step, not 21% —
+    # re-measure at today's defaults, watching near_fallback (coarser
+    # boxes accept less, growing the near field).
+    ("sg64_1m", 1 << 20, dict(subgroups=64)),
+    ("sg32_1m", 1 << 20, dict(subgroups=32)),
+    ("sg64_524k", 1 << 19, dict(subgroups=64)),
 ]
 
 
