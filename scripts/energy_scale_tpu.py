@@ -13,6 +13,10 @@ walk) on the real chip:
     size that crashed the TPU worker in the force gates; skipped).
 
 Appends JSON lines to results/energy_scale_tpu.jsonl.
+
+`--theta` runs the 1M error row at theta2 in {1.0, 0.5, 0.25} instead:
+theta2 is traced through the walk, so the sweep reuses one compile and
+documents how the estimator's bound tightens with the opening angle.
 """
 
 import json
@@ -42,6 +46,28 @@ def timed(fn, *a, **k):
     return out, t_cold, t_warm
 
 
+def theta_sweep():
+    """1M estimator error vs opening angle (one compile; theta2 is traced)."""
+    params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                              bounds_width=10.0, dtype=jnp.float32)
+    n = 1 << 20
+    pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
+    st = ParticleState.create(pos, vel, mass, capacity=n,
+                              dtype=jnp.float32)
+    pe_ex, _, ex_warm = timed(potential_energy, st, params, tile=1024)
+    print({"pe_exact": pe_ex, "exact_warm_s": ex_warm}, flush=True)
+    for t2 in (1.0, 0.5, 0.25):
+        pe_bh, bh_cold, bh_warm = timed(potential_energy_bh, st, params,
+                                        theta2=t2)
+        rec = {"n": n, "theta2": t2, "pe_bh": pe_bh, "pe_exact": pe_ex,
+               "rel_err": abs(pe_bh - pe_ex) / abs(pe_ex),
+               "bh_warm_s": round(bh_warm, 3),
+               "bh_cold_s": round(bh_cold, 1), "ts": time.time()}
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+
+
 def main():
     params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
                               bounds_width=10.0, dtype=jnp.float32)
@@ -55,9 +81,12 @@ def main():
         pe_bh, bh_cold, bh_warm = timed(potential_energy_bh, st, params)
         rec = {"n": n, "pe_bh": pe_bh, "bh_warm_s": round(bh_warm, 3),
                "bh_cold_s": round(bh_cold, 1), "ts": time.time()}
+        print(rec, flush=True)  # observability before the exact pass
         if want_exact:
+            # tile=1024 keeps the [T, N] f32 temporaries ~4 GB of HBM;
+            # tile=4096 at 1M OOMs (16 GB HLO temp, measured)
             pe_ex, ex_cold, ex_warm = timed(
-                potential_energy, st, params, tile=4096)
+                potential_energy, st, params, tile=1024)
             rec.update(pe_exact=pe_ex,
                        exact_warm_s=round(ex_warm, 3),
                        exact_cold_s=round(ex_cold, 1),
@@ -70,4 +99,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    theta_sweep() if "--theta" in sys.argv else main()
