@@ -213,15 +213,15 @@ def _self_kernel_sym(scal_ref, t8_ref, mi_ref, xj, yj, zj, mj, out1, out2, *,
     band = bi // ratio
 
     def common():
-        eps2 = scal_ref[0, 0]
-        dx = xj[:] - t8_ref[:, 0:1]  # (TI, 1) x (1, TJ) -> (TI, TJ)
-        dy = yj[:] - t8_ref[:, 1:2]
-        dz = zj[:] - t8_ref[:, 2:3]
-        r2 = dx * dx + dy * dy + dz * dz + eps2
-        if guard:
-            r2 = jnp.where(r2 > 0.0, r2, 1.0)  # exact-coincident only
-        inv_r = jax.lax.rsqrt(r2)
-        return dx, dy, dz, inv_r * inv_r * inv_r
+        # the one shared r^2 -> 1/r^3 body (guard semantics included) lives
+        # in pairwise.py so a fix there can't silently miss this kernel;
+        # imported at trace time to stay out of the engines import cycle
+        # (engines/__init__ loads barnes_hut -> ... -> group_force BEFORE
+        # pairwise)
+        from nbody_tpu.ops.pairwise import _sym_tile_common
+
+        return _sym_tile_common(scal_ref, t8_ref[:, 0:1], t8_ref[:, 1:2],
+                                t8_ref[:, 2:3], xj, yj, zj, guard)
 
     @pl.when(bj == band)
     def _():

@@ -360,7 +360,8 @@ def pairwise_acc_pallas_sym(pos, mass, g, g_soft, *, tile_i=512, tile_j=1024,
 
 # (8, N) f32 mirror accumulator + ~12 MB of dual-tile temporaries must fit
 # VMEM; 256k (8 MB accumulator) compiles, 512k does not.  Brute is only
-# competitive below the ~55k bh crossover anyway (results/crossover_r3.jsonl).
+# competitive below the ~60k bh crossover anyway (results/crossover_r3b.jsonl
+# — the post-sym-kernel measurement; crossover_r3.jsonl rows predate it).
 _SYM_MAX_N = 262144
 
 

@@ -104,6 +104,15 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None,
             "fb_spill": int(stats["fb_spill"]),
             "wall_s": round(time.perf_counter() - t0, 1),
             "ts": time.time(),
+            # snapshot the RESOLVED config: preset tiers move between
+            # sessions, so a name like "defaults_2m" alone is ambiguous
+            # across re-runs (rows on file before 2026-08-18 predate this
+            # field — their configs are pinned in VALIDATION.md §9/§12)
+            "config": {"group_size": cfg.group_size,
+                       "window_pad": cfg.window_pad,
+                       "near_particle_cap": cfg.near_particle_cap,
+                       "block_dual": cfg.block_dual,
+                       "multipole": cfg.multipole},
         }
         if sample_idx is not None:
             rec["sampled"] = int(len(sample_idx))

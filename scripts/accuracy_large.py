@@ -33,9 +33,13 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "results",
 K = 8192
 
 # (suffix, N, full_truth, configs).  defaults_* rows take whatever
-# auto_for ships (post-retraction: wp2048 above 1M); wp512_* rows record
-# the retracted cut's error at the same N.  *_sampled at 2M cross-checks
-# the sampled estimator against the full-truth rows already on file.
+# auto_for ships AT RUN TIME — tiers have moved between sessions (the
+# on-file defaults_2m rows measured the retracted wp512 preset; the 2M
+# tier now ships wp1024), so key any comparison on the row's "config"
+# snapshot (run_gate writes it since 2026-08-18), not the name.  wp512_*
+# rows record the retracted cut's error at the same N.  *_sampled at 2M
+# cross-checks the sampled estimator against the full-truth rows already
+# on file.
 PLANS = [
     ("2m", 1 << 21, True, {"defaults_2m": {},
                            "wp2048_control_2m": dict(window_pad=2048)}),

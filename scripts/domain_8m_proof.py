@@ -64,22 +64,41 @@ from nbody_tpu.parallel.domain import domain_accel  # noqa: E402
 from nbody_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh  # noqa: E402
 from nbody_tpu.scenes import self_gravitating_disc  # noqa: E402
 
-# optional argv: log2(N) (default 23 = 8M).  24 runs the WIDE row format
-# (N >= 2^24, ops/tree.py wide_ranges) at its design scale — per-chip
-# shards of 2M rows with (chip, slot) f32 return routing.
-LOGN = 23 if len(sys.argv) < 2 else int(sys.argv[1])
+# optional argv: log2(N) (default 23 = 8M).  24 would run the WIDE row
+# format (N >= 2^24, ops/tree.py wide_ranges) at its natural scale, but
+# the single 16M 8-partition XLA CPU program needs >130 GB host RSS and
+# is OOM-killed on this 125 GB host (2026-08-18, dmesg: anon-rss
+# 130805588kB at kill; the 8M program fits with tens of GB to spare).
+# `--force-wide` instead lowers WIDE_N so the 8M run itself rides the
+# wide format — per-chip hi/lo range tables, Morton-prefix fb
+# containment, (chip, slot) return routing — inside the proven 8M
+# footprint; small-N ulp-equivalence vs narrow is pinned separately in
+# tests/test_domain.py.
+LOGN = 23
+FORCE_WIDE = "--force-wide" in sys.argv
+argn = [a for a in sys.argv[1:] if not a.startswith("--")]
+if argn:
+    LOGN = int(argn[0])
 N = 1 << LOGN
 NDEV = 8
 SPOT = 1024
-FUSED_STEPS = LOGN <= 23  # the fused-step proof ran at 8M; skip at 16M+
-                          # (compile-dominated; domain_accel is the point)
+FUSED_STEPS = LOGN <= 23 and not FORCE_WIDE  # fused-step proof ran at 8M
+                          # narrow; wide/16M+ runs prove domain_accel only
 OUT = os.path.join(os.path.dirname(__file__), "..", "results",
-                   f"domain_{N >> 20}m_virtual.json")
+                   f"domain_{N >> 20}m{'_wide' if FORCE_WIDE else ''}"
+                   "_virtual.json")
 
 
 def main():
     t0 = time.perf_counter()
     assert len(jax.devices()) >= NDEV, jax.devices()
+    if FORCE_WIDE:
+        # same switch the forced-wide tests flip (tests/test_domain.py):
+        # every wide_ranges() consumer consults this one module constant
+        from nbody_tpu.ops import tree as tree_mod
+
+        tree_mod.WIDE_N = N
+        print(f"forced WIDE row format at N={N}", flush=True)
     mesh = make_mesh(NDEV)
 
     print(f"building {N} particle scene...", flush=True)
@@ -186,7 +205,8 @@ def main():
         "spot_err_max": float(err.max()),
         "n_alive_after_2_steps": int(n_alive),
         "total_s": time.perf_counter() - t0,
-        "wide_rows": N >= (1 << 24),
+        "wide_rows": FORCE_WIDE or N >= (1 << 24),
+        "wide_forced": FORCE_WIDE,
         "note": "8-virtual-device CPU mesh; 8M+ does not fit one v5e chip "
                 "(single-chip OOM by ~300MB, round-2). Per-chip arrays are "
                 "O(n_loc + halo); accept/frontier drops asserted zero.",

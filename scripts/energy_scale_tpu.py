@@ -71,7 +71,6 @@ def theta_sweep():
 def main():
     params = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
                               bounds_width=10.0, dtype=jnp.float32)
-    rows = []
     for n, want_exact in ((1 << 20, True), (1 << 22, False)):
         pos, vel, mass = self_gravitating_disc(n - 1, seed=0)
         st = ParticleState.create(pos, vel, mass, capacity=n,
@@ -81,8 +80,8 @@ def main():
         pe_bh, bh_cold, bh_warm = timed(potential_energy_bh, st, params)
         rec = {"n": n, "pe_bh": pe_bh, "bh_warm_s": round(bh_warm, 3),
                "bh_cold_s": round(bh_cold, 1), "ts": time.time()}
-        print(rec, flush=True)  # observability before the exact pass
         if want_exact:
+            print(rec, flush=True)  # observability before the exact pass
             # tile=1024 keeps the [T, N] f32 temporaries ~4 GB of HBM;
             # tile=4096 at 1M OOMs (16 GB HLO temp, measured)
             pe_ex, ex_cold, ex_warm = timed(
@@ -91,7 +90,6 @@ def main():
                        exact_warm_s=round(ex_warm, 3),
                        exact_cold_s=round(ex_cold, 1),
                        rel_err=abs(pe_bh - pe_ex) / abs(pe_ex))
-        rows.append(rec)
         os.makedirs(os.path.dirname(OUT), exist_ok=True)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
