@@ -191,11 +191,12 @@ def test_quad_fallback_self_excluded_under_overflow(disc_8k):
 
 def test_bh_quad_translated_scene(disc_8k):
     """Quad accuracy must survive a scene whose bounds sit FAR from the
-    coordinate origin (|center| >> cell width).  Raw second moments are
-    accumulated about the grid center (LinearOctree.quad_center), so the
+    coordinate origin (|center| >> cell width).  The accel entry points
+    recenter all positions on bounds.center before the tree build, so the
+    raw second moments are accumulated in the GRID frame and the
     centralization P = S2 - M c cᵀ stays well-conditioned; accumulating
-    about the origin cancels catastrophically here — relative error on P
-    ~ (|c|/w)² 2^-24 ≈ 4e5 at this offset (ADVICE r2 #1)."""
+    about the world origin cancels catastrophically here — relative error
+    on P ~ (|c|/w)² 2^-24 ≈ 4e5 at this offset (ADVICE r2 #1)."""
     state, params, m, ref = disc_8k
     shift = np.array([4096.0, -8192.0, 2048.0], np.float32)
     pos_t = state.pos + jnp.asarray(shift)
