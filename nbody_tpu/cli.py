@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "cut stay — both drift-cheap).  ~8%% slower at 1M for "
                    "~3.6x less energy drift at benchmark dt (VALIDATION.md "
                    "§10); bh engines only")
+    p.add_argument("--walk-every", type=int, default=1, metavar="K",
+                   help="BH temporal walk reuse: run the tree walk every K "
+                   "steps, re-evaluating the frozen traversal topology at "
+                   "current positions in between (single-device bh engines "
+                   "only; 1 = classic rebuild-every-step)")
     p.add_argument("--compensated", action="store_true",
                    help="carry double-float (TwoSum) low words for pos/vel: "
                    "closes most of the f32 energy-drift gap to f64 at <1%% "
@@ -102,6 +107,12 @@ def main(argv=None) -> dict:
         # explicit pad (not profile=) so the sharded BHConfig(**opts)
         # path accepts it too; same value as profile='accurate'
         eng_opts.update(window_pad=2048)
+    if args.walk_every > 1:
+        if not args.engine.startswith("bh") or args.engine == "bh-lazy":
+            raise SystemExit("--walk-every applies to bh/bh-deep only")
+        if args.devices and args.devices > 1:
+            raise SystemExit("--walk-every is single-device only")
+        eng_opts.update(walk_every=args.walk_every)
 
     if args.devices and args.devices > 1:
         from nbody_tpu.parallel.sharded import ShardedSimulation

@@ -34,6 +34,13 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     profile = options.pop("profile", "fast")
     if profile == "accurate":
         options.setdefault("window_pad", 2048)
+    # temporal walk reuse (engine option, not a BHConfig field): run the
+    # collect walk every K steps, evaluating the frozen topology at fresh
+    # positions in between (ops/traversal.py traverse_tree_cached).  1 =
+    # the classic rebuild-every-step engine.  Guarded by the bh-lazy
+    # moved-fraction trigger (walk_rebuild_frac) regardless of K.
+    walk_every = int(options.pop("walk_every", 1))
+    walk_rebuild_frac = float(options.pop("walk_rebuild_frac", 0.5))
     cfg = BHConfig(**options)
     # group sizing left to the engine -> pick the sweep-tuned preset for the
     # state's capacity at trace time (bigger groups win as N grows)
@@ -74,10 +81,40 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
             "fb_spill": int(stats["fb_spill"]),
         }
 
+    init_carry = force_carry = None
+    if walk_every > 1:
+        import jax.numpy as jnp
+
+        from nbody_tpu.ops.traversal import bh_accel_reuse, empty_topo
+        from nbody_tpu.ops.tree import build_octree
+
+        def init_carry(pos, mass, params):
+            c = fit(pos)
+            # grid frame, like bh-lazy: the carried tree stores grid-frame
+            # pos_s; age 0 makes the first force a full rebuild + walk
+            tree = build_octree(
+                pos - params.bounds.center, mass, params.bounds.centered(),
+                c.max_level, dim=c.dim, quad=c.multipole == "quad",
+                quad_leaf=c.quad_leaf,
+            )
+            return (tree, empty_topo(pos.shape[0], c, pos.dtype),
+                    jnp.int32(0))
+
+        def force_carry(pos, mass, params, carry):
+            tree, topo, age = carry
+            acc, _stats, tree, topo, age = bh_accel_reuse(
+                pos, mass, params.bounds, params.theta2, params.g,
+                params.g_soft, tree, topo, age, fit(pos), walk_every,
+                walk_rebuild_frac,
+            )
+            return acc, (tree, topo, age)
+
     return Engine(
         name=name,
         force=force,
         aux=aux,
+        init_carry=init_carry,
+        force_carry=force_carry,
         description=f"Barnes-Hut linear octree, {cfg}",
     )
 

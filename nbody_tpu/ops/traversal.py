@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -648,7 +649,7 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, phi_fb,
-     stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     _fbs, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G = n_groups
     W = window
     mono = mono.reshape(G, cfg.accept_cap, 8)
@@ -893,10 +894,12 @@ def _group_collect(
         # round-1 plain-monopole degradation, counted in stats)
         mono_mask = accept | fb_drop
         neg = jnp.full((ids.shape[0],), -1.0, ftype)
-        zero = jnp.zeros((ids.shape[0],), ftype)
+        # slot 7 carries the TRUE level even for spill rows (slot 5 = -1):
+        # the cached-topology path (traverse_tree_cached) re-gathers fresh
+        # node values by (level, cell id); no kernel reads slab slot 7
         mrows = jnp.stack(
             [com[:, 0], com[:, 1], com[:, 2], m, neg,
-             jnp.where(fb_drop, -1.0, lvlf), idf, zero],
+             jnp.where(fb_drop, -1.0, lvlf), idf, lvlf],
             axis=1,
         )
         mono, mono_off, mono_drop = _push_rows(mono, mono_off, mrows,
@@ -947,8 +950,10 @@ def _group_collect(
                           **fbk)
 
     stats = (a_dropped, f_fallback, n_fallback, fb_spill)
+    # the fb slab rides along so callers can cache it as walk topology
+    # (traverse_tree(return_topo=True) -> traverse_tree_cached)
     return (mono[: cfg.accept_cap], near_ids, near_valid, far_ids, far_valid,
-            wmask, wstart, center, acc_fb, stats)
+            wmask, wstart, center, acc_fb, fb[: cfg.fb_cap], stats)
 
 
 def _expand_ranges(leaf_table, cell_ids, cell_valid, cap, wide=False):
@@ -1363,8 +1368,119 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
     ).reshape(G, B, 3)
 
 
+class WalkTopo(NamedTuple):
+    """Cached walk topology — the collect walk's DECISIONS, none of its
+    values: which nodes each group accepted (mono rows keep their
+    (level, cell id); COM/mass are re-gathered fresh), which cells
+    overflowed to the fallback slab, the expanded near-field index lists,
+    and the window coverage.  With frozen binning (ops/tree.py
+    refresh_octree) every index here stays meaningful across steps, so a
+    step can skip the walk entirely (traverse_tree_cached) and still
+    evaluate all forces at CURRENT positions — only the accept/near
+    routing is stale.  The temporal analog of the reference midterm
+    engine's incremental tree (src/llm/barnes_hut_midterm.rs:628-672),
+    applied to the traversal instead of the build."""
+
+    mono: jax.Array  # [G, accept_cap, 8] accepted-node rows
+    fb: jax.Array  # [G, fb_cap, 8] overflow-fallback node rows
+    pidx: jax.Array  # [G, near_particle_cap] int32 near source indices
+    pvalid: jax.Array  # [G, near_particle_cap] bool
+    ntot: jax.Array  # [G] int32 near totals (stats)
+    wmask: jax.Array  # [G, W] bool window coverage
+    wstart: jax.Array  # [G] int32 window starts
+
+
+def empty_topo(n: int, cfg: BHConfig, dtype) -> WalkTopo:
+    """Zero-filled WalkTopo with the exact shapes traverse_tree(
+    return_topo=True) produces for ``n`` — the initial carry before the
+    first full walk (every mono/fb row has zero mass, so it is inert even
+    if evaluated)."""
+    block = cfg.group_size * cfg.chunk_groups
+    n_tot = n + (-n) % block
+    G = n_tot // cfg.group_size
+    W = min(cfg.window, n_tot)
+    P = cfg.near_particle_cap
+    return WalkTopo(
+        mono=jnp.zeros((G, cfg.accept_cap, 8), dtype),
+        fb=jnp.zeros((G, cfg.fb_cap, 8), dtype),
+        pidx=jnp.zeros((G, P), jnp.int32),
+        pvalid=jnp.zeros((G, P), bool),
+        ntot=jnp.zeros((G,), jnp.int32),
+        wmask=jnp.zeros((G, W), bool),
+        wstart=jnp.zeros((G,), jnp.int32),
+    )
+
+
+def _assemble_eval(pmass8, tgt8, gstart, tree, mono, pidx, pvalid, wmask,
+                   wstart, center, acc_fb, theta2, g, g_soft,
+                   cfg: BHConfig, W: int):
+    """Slab assembly + fused force eval, shared by the full walk
+    (traverse_tree) and the cached-topology path (traverse_tree_cached):
+    window slice + near gather + multipole slab -> one fused eval pass
+    (+ block-dual, + quadrupole kernel, + fallback term).  Returns
+    (acc [G, B, 3] in sorted-group order, n_dual, slab_fill)."""
+    dtype = tgt8.dtype
+    nrows = pmass8[pidx]  # [G, P, 8]
+    nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
+    B = tgt8.shape[1]
+    if cfg.near_sym:
+        # split the window into the group's own central square + the two
+        # rim pads (coverage/wmask semantics unchanged — see BHConfig).
+        # The central columns [off, off+B) of the window ARE the group:
+        # off = gstart - wstart, always in [0, W - B] by the wstart clip.
+        off = (gstart - wstart).astype(jnp.int32)  # [G]
+        R = W - B  # static rim width (2*window_pad away from array edges)
+        k = jnp.arange(R, dtype=jnp.int32)
+        rimrel = k[None, :] + B * (k[None, :] >= off[:, None])  # [G, R]
+        rrows = pmass8[wstart[:, None] + rimrel]  # [G, R, 8]
+        rmask = jnp.take_along_axis(wmask, rimrel, axis=1)
+        rrows = rrows.at[:, :, 3].set(jnp.where(rmask, rrows[:, :, 3], 0.0))
+        # central source weights: the group's own masses under the window
+        # coverage mask (uncovered members ride near/fb as sources instead)
+        cen = off[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
+        mcen = jnp.where(jnp.take_along_axis(wmask, cen, axis=1),
+                         tgt8[:, :, 3], 0.0)
+        wrows = rrows
+    else:
+        wrows = jax.vmap(
+            lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),
+                                             (W, 8))
+        )(wstart)  # [G, W, 8]
+        wrows = wrows.at[:, :, 3].set(
+            jnp.where(wmask, wrows[:, :, 3], 0.0))
+    if cfg.multipole == "quad":
+        # particle sources (exact) through the pair kernel; accepted nodes
+        # through the separate quadrupole kernel (16-wide rows)
+        slab = jnp.concatenate([wrows, nrows], axis=1)
+    else:
+        slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
+
+    # dual-tree far field over the eval grid (when cfg.block_dual): accepted
+    # (target-tile, source-tile) pairs skip the pair kernel and ride the
+    # source tile's central quadrupole (_dual_prepare / _dual_slab_eval)
+    acc_main, n_dual = _dual_slab_eval(
+        slab, tgt8, center, theta2, g, g_soft, cfg
+    )
+    if cfg.near_sym:
+        acc_main = acc_main + _self_square_eval(tgt8, mcen, g, g_soft, cfg)
+
+    if cfg.multipole == "quad":
+        goffs = jnp.array(
+            [level_offset(lv, 1 << cfg.dim)
+             for lv in range(cfg.max_level + 1)],
+            jnp.int32,
+        )
+        qslab = _quad_slab(mono, tree.all_quad, goffs,
+                           -1 if cfg.quad_leaf else cfg.max_level)
+        acc_main = acc_main + _quad_eval(qslab, tgt8, g, g_soft, cfg)
+
+    slab_fill = jnp.mean((slab[..., 3] != 0.0).astype(dtype))
+    return acc_main + acc_fb, n_dual, slab_fill
+
+
 def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
-                  chunk_range=None, n_shards: int = 1):
+                  chunk_range=None, n_shards: int = 1,
+                  return_topo: bool = False):
     """Group traversal + force over an already-built tree.
 
     Structure (round 2): chunked *collect* walk -> dense slab assembly
@@ -1432,7 +1548,7 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, acc_fb,
-     stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     fbs, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G_my = my_chunks * CG
     W = window
     P = cfg.near_particle_cap
@@ -1451,62 +1567,12 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         P,
     )
 
-    # ---- slab assembly: window slice + near gather + multipole slab ----
-    nrows = pmass8[pidx]  # [G, P, 8]
-    nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
     tgt8 = cgp8.reshape(G_my, B, 8)
-    if cfg.near_sym:
-        # split the window into the group's own central square + the two
-        # rim pads (coverage/wmask semantics unchanged — see BHConfig).
-        # The central columns [off, off+B) of the window ARE the group:
-        # off = gstart - wstart, always in [0, W - B] by the wstart clip.
-        gstart = cgi.reshape(G_my, B)[:, 0]
-        off = (gstart - wstart).astype(jnp.int32)  # [G]
-        R = W - B  # static rim width (2*window_pad away from array edges)
-        k = jnp.arange(R, dtype=jnp.int32)
-        rimrel = k[None, :] + B * (k[None, :] >= off[:, None])  # [G, R]
-        rrows = pmass8[wstart[:, None] + rimrel]  # [G, R, 8]
-        rmask = jnp.take_along_axis(wmask, rimrel, axis=1)
-        rrows = rrows.at[:, :, 3].set(jnp.where(rmask, rrows[:, :, 3], 0.0))
-        # central source weights: the group's own masses under the window
-        # coverage mask (uncovered members ride near/fb as sources instead)
-        cen = off[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
-        mcen = jnp.where(jnp.take_along_axis(wmask, cen, axis=1),
-                         tgt8[:, :, 3], 0.0)
-        wrows = rrows
-    else:
-        wrows = jax.vmap(
-            lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),
-                                             (W, 8))
-        )(wstart)  # [G, W, 8]
-        wrows = wrows.at[:, :, 3].set(
-            jnp.where(wmask, wrows[:, :, 3], 0.0))
-    if cfg.multipole == "quad":
-        # particle sources (exact) through the pair kernel; accepted nodes
-        # through the separate quadrupole kernel (16-wide rows)
-        slab = jnp.concatenate([wrows, nrows], axis=1)
-    else:
-        slab = jnp.concatenate([wrows, nrows, mono], axis=1)  # [G, S, 8]
-
-    # dual-tree far field over the eval grid (when cfg.block_dual): accepted
-    # (target-tile, source-tile) pairs skip the pair kernel and ride the
-    # source tile's central quadrupole (_dual_prepare / _dual_slab_eval)
-    acc_main, n_dual = _dual_slab_eval(
-        slab, tgt8, center, theta2, g, g_soft, cfg
+    gstart = cgi.reshape(G_my, B)[:, 0]
+    acc_c, n_dual, slab_fill = _assemble_eval(
+        pmass8, tgt8, gstart, tree, mono, pidx, pvalid, wmask, wstart,
+        center, acc_fb, theta2, g, g_soft, cfg, W,
     )
-    if cfg.near_sym:
-        acc_main = acc_main + _self_square_eval(tgt8, mcen, g, g_soft, cfg)
-
-    if cfg.multipole == "quad":
-        goffs = jnp.array(
-            [level_offset(lv, 1 << cfg.dim) for lv in range(cfg.max_level + 1)],
-            jnp.int32,
-        )
-        qslab = _quad_slab(mono, tree.all_quad, goffs,
-                           -1 if cfg.quad_leaf else cfg.max_level)
-        acc_main = acc_main + _quad_eval(qslab, tgt8, g, g_soft, cfg)
-
-    acc_c = acc_main + acc_fb
 
     if n_shards > 1:
         acc = acc_c.reshape(-1, 3)  # SORTED-order slice; caller assembles
@@ -1551,8 +1617,21 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         # nonzero fraction of the whole assembled slab — the pair kernel's
         # ALU utilization ceiling (zero-mass rows pay full VPU cost)
         "window_cov": jnp.mean(wmask.astype(dtype)),
-        "slab_fill": jnp.mean((slab[..., 3] != 0.0).astype(dtype)),
+        "slab_fill": slab_fill,
     }
+    if return_topo:
+        if n_shards > 1:
+            raise ValueError("return_topo is a single-chip feature")
+        topo = WalkTopo(
+            mono=mono,
+            fb=fbs.reshape(G_my, cfg.fb_cap, 8),
+            pidx=pidx,
+            pvalid=pvalid,
+            ntot=ntot,
+            wmask=wmask,
+            wstart=wstart,
+        )
+        return acc, stats, topo
     return acc, stats
 
 
@@ -1575,6 +1654,213 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
                         quad=cfg.multipole == "quad",
                         quad_leaf=cfg.quad_leaf)
     return traverse_tree(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
+
+
+def traverse_tree_cached(tree, topo, theta2, g, g_soft, cfg: BHConfig,
+                         n: int):
+    """Force evaluation over a FROZEN walk topology (see WalkTopo): skip
+    the collect walk — the single biggest non-kernel step cost, ~35 ms of
+    the 166 ms step at N=1M (VALIDATION.md §15) — and re-evaluate every
+    interaction at CURRENT positions:
+
+      * accepted/fallback node rows re-gather fresh mass/COM (and, via the
+        refreshed ``all_quad``, fresh quadrupoles) by their stored
+        (level, cell id) from the refreshed level tables;
+      * window/near/pair sources read the refreshed ``pos_s``/``mass_s``
+        directly (frozen order, current values);
+      * the fallback slab is evaluated here (it normally rides inside the
+        walk) with the same chunked layout.
+
+    ``tree`` must share the topology's frozen binning (refresh_octree).
+    Staleness is confined to the ROUTING: which cells are accepted vs
+    opened vs near.  Positions drift ~v*dt per step, so a small reuse
+    cadence keeps decisions within the acceptance margin; the engine
+    guards with the same moved-fraction trigger as bh-lazy.  Single-chip
+    only (the sharded paths re-walk every step)."""
+    if cfg.wide or cfg.near_sym:
+        raise ValueError("walk reuse supports neither wide mode nor "
+                         "near_sym")
+    B = cfg.group_size
+    CG = cfg.chunk_groups
+    block = B * CG
+    pad = (-n) % block
+    dtype = tree.pos_s.dtype
+    n_tot = n + pad
+    idxf = jnp.arange(n_tot, dtype=dtype)
+    pm4 = jnp.concatenate([tree.pos_s, tree.mass_s[:, None]], axis=1)
+    if pad:
+        pm4 = jnp.concatenate([pm4, jnp.zeros((pad, 4), dtype)])
+    pmass8 = jnp.concatenate(
+        [pm4, idxf[:, None], jnp.zeros((n_tot, 3), dtype)], axis=1
+    )
+    W = min(cfg.window, n_tot)
+    G = n_tot // B
+    tgt8 = pmass8.reshape(G, B, 8)
+    branch = 1 << cfg.dim
+
+    # fresh node values for the frozen rows: ONE flat all-level table
+    # (concat is a linear HBM copy), then 8-wide row gathers by
+    # (level, cell id) — the fast gather shape (CLAUDE.md rates)
+    goffs = jnp.array(
+        [level_offset(lv, branch) for lv in range(cfg.max_level + 1)],
+        jnp.int32,
+    )
+    flat = jnp.concatenate(tree.level_table, axis=0)
+
+    # mono rows: (com, M, -1, level|-1, cid, TRUE level); refresh com/M,
+    # keep slots 4..7.  Padding rows (cached M == 0) must stay inert —
+    # their (0, 0) ids would otherwise re-gather the root.
+    mono = topo.mono
+    mvalid = mono[..., 3] > 0
+    mlvl = mono[..., 7].astype(jnp.int32)
+    mcid = mono[..., 6].astype(jnp.int32)
+    mrows = flat[jnp.where(mvalid, goffs[mlvl] + mcid, 0)]  # [G, A, 8]
+    mm = jnp.where(mvalid, mrows[..., 0], 0.0)
+    mcom = mrows[..., 1:4] / jnp.where(mm > 0, mm, 1.0)[..., None]
+    mono = jnp.concatenate([mcom, mm[..., None], mono[..., 4:]], axis=-1)
+
+    # fb rows: raw node rows + (level, cid) in slots 6/7; ranges are frozen
+    # so the re-gathered row's cs/ce equal the cached ones
+    fb = topo.fb
+    fvalid = fb[..., 0] > 0
+    flvl = fb[..., 6]
+    fcid = fb[..., 7]
+    frows = flat[
+        jnp.where(
+            fvalid,
+            goffs[flvl.astype(jnp.int32)] + fcid.astype(jnp.int32),
+            0,
+        )
+    ]
+    fb = jnp.where(fvalid[..., None], frows, 0.0)
+    fb = fb.at[..., 6].set(flvl).at[..., 7].set(fcid)
+
+    # fallback eval at fresh positions, chunked like the walk (the
+    # [B, fb_cap, 3] intermediates are per-group)
+    gidx = jnp.arange(n_tot, dtype=jnp.int32).reshape(G, B)
+    fbk = dict(dim=cfg.dim, max_level=cfg.max_level)
+    use_fb_quad = cfg.multipole == "quad" and cfg.fb_quad
+
+    def fb_body(args):
+        t8c, gic, fbc = args
+
+        def one(t8g, gig, fbg):
+            if use_fb_quad:
+                return _fb_eval(t8g[:, :3], gig, t8g[:, 3], fbg, g, g_soft,
+                                tree.all_quad, goffs, **fbk)
+            return _fb_eval(t8g[:, :3], gig, t8g[:, 3], fbg, g, g_soft,
+                            **fbk)
+
+        return jax.vmap(one)(t8c, gic, fbc)
+
+    acc_fb = jax.lax.map(
+        fb_body,
+        (tgt8.reshape(G // CG, CG, B, 8),
+         gidx.reshape(G // CG, CG, B),
+         fb.reshape(G // CG, CG, cfg.fb_cap, 8)),
+    ).reshape(G, B, 3)
+
+    # group centers from fresh positions (the walk's formula)
+    has = tgt8[..., 3] > 0
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    p3 = tgt8[..., :3]
+    glo = jnp.min(jnp.where(has[..., None], p3, big), axis=1)
+    ghi = jnp.max(jnp.where(has[..., None], p3, -big), axis=1)
+    center = jnp.where(
+        jnp.any(has, axis=1)[:, None], 0.5 * (glo + ghi), 0.0
+    )
+
+    gstart = jnp.arange(G, dtype=jnp.int32) * B
+    acc_c, n_dual, slab_fill = _assemble_eval(
+        pmass8, tgt8, gstart, tree, mono, topo.pidx, topo.pvalid,
+        topo.wmask, topo.wstart, center, acc_fb, theta2, g, g_soft, cfg, W,
+    )
+
+    acc_s = acc_c.reshape(n_tot, 3)[:n, : cfg.dim]
+    acc = jnp.stack(
+        jax.lax.sort(
+            (tree.order, *(acc_s[:, d] for d in range(cfg.dim))),
+            num_keys=1,
+        )[1:],
+        axis=1,
+    )
+    # same reduction as the full path's jnp.sum(int32 counters) so the
+    # lax.cond branches in bh_accel_reuse agree under x64 promotion
+    z = jnp.sum(jnp.zeros((1,), jnp.int32))
+    stats = {
+        "accept_dropped": z,
+        "frontier_fallback": z,
+        "near_fallback": z,
+        "fb_spill": z,
+        "near_totals": topo.ntot.reshape(-1),
+        "dual_tiles": n_dual,
+        "window_cov": jnp.mean(topo.wmask.astype(dtype)),
+        "slab_fill": slab_fill,
+    }
+    return acc, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "walk_every", "rebuild_frac", "move_cells"),
+)
+def bh_accel_reuse(pos, mass, bounds, theta2, g, g_soft, tree, topo, age,
+                   cfg: BHConfig = BHConfig(), walk_every: int = 2,
+                   rebuild_frac: float = 0.5, move_cells: float = 1.0):
+    """Barnes-Hut acceleration with temporal walk reuse: a full
+    rebuild + collect walk every ``walk_every`` steps (and whenever more
+    than ``rebuild_frac`` of the alive particles strayed more than
+    ``move_cells`` leaf cells from their frozen cell — the bh-lazy guard);
+    in between, frozen-binning refresh + cached-topology evaluation
+    (traverse_tree_cached).  Returns (acc, stats, tree, topo, age_next);
+    thread the last three as the step carry."""
+    from nbody_tpu.ops import morton
+    from nbody_tpu.ops.tree import grid_bounds, refresh_octree
+
+    pos = pos - bounds.center
+    bounds = bounds.centered()
+    L = cfg.max_level
+    n = pos.shape[0]
+
+    gb = grid_bounds(bounds, L)
+    pos_s = pos[tree.order][:, :cfg.dim]
+    mass_s = mass[tree.order]
+    alive_s = mass_s > 0
+    n_leaf = (1 << cfg.dim) ** L
+    centers = morton.cell_centers_from_codes(
+        jnp.minimum(tree.code_s, n_leaf - 1), gb, L, dim=cfg.dim
+    )
+    cell_w = gb.width / (1 << L)
+    moved = (
+        jnp.max(jnp.abs(pos_s - centers), axis=-1)
+        > (0.5 + move_cells) * cell_w
+    )
+    frac = jnp.sum(moved & alive_s) / jnp.maximum(jnp.sum(alive_s), 1)
+
+    do_full = ((age % walk_every) == 0) | (frac > rebuild_frac)
+
+    def full(_):
+        t = build_octree(pos, mass, bounds, L, dim=cfg.dim,
+                         quad=cfg.multipole == "quad",
+                         quad_leaf=cfg.quad_leaf)
+        acc, stats, tp = traverse_tree(t, bounds, theta2, g, g_soft, cfg, n,
+                                       return_topo=True)
+        return acc, stats, t, tp
+
+    def cached(args):
+        t0, tp = args
+        t = refresh_octree(t0, pos, mass, quad=cfg.multipole == "quad",
+                           quad_leaf=cfg.quad_leaf)
+        acc, stats = traverse_tree_cached(t, tp, theta2, g, g_soft, cfg, n)
+        return acc, stats, t, tp
+
+    acc, stats, tree, topo = jax.lax.cond(do_full, full, cached,
+                                          (tree, topo))
+    stats = dict(stats)
+    stats["full_walk"] = do_full.astype(jnp.int32)
+    stats["moved_frac"] = frac
+    age_next = jnp.where(do_full, jnp.int32(1), age + 1)
+    return acc, stats, tree, topo, age_next
 
 
 @partial(jax.jit, static_argnames=("cfg", "rebuild_frac", "move_cells"))

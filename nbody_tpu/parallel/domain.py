@@ -354,7 +354,7 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         return vm_collect(cp8[..., :3], cp8[..., 3], cidx, ccode)
 
     (mono, near_ids, near_valid, far_ids, far_valid, wmask, wstart, center,
-     acc_fb, stats_t) = jax.lax.map(chunk_body, (ct8, ci, cc))
+     acc_fb, _fbs, stats_t) = jax.lax.map(chunk_body, (ct8, ci, cc))
     P = cfg.near_particle_cap
     Pf = cfg.far_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)

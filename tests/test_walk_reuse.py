@@ -1,0 +1,159 @@
+"""Temporal walk reuse (BHConfig + engine option ``walk_every``): the
+collect walk's topology is frozen for K steps and re-evaluated at current
+positions (ops/traversal.py WalkTopo / traverse_tree_cached /
+bh_accel_reuse) — the traversal-side analog of the reference midterm
+engine's incremental tree update (src/llm/barnes_hut_midterm.rs:628-672)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.api import Simulation
+from nbody_tpu.core.state import ParticleState, SimParams
+from nbody_tpu.ops.traversal import (
+    BHConfig,
+    bh_accel,
+    bh_accel_reuse,
+    empty_topo,
+    traverse_tree,
+    traverse_tree_cached,
+)
+from nbody_tpu.ops.tree import build_octree, refresh_octree
+from nbody_tpu.scenes import self_gravitating_disc
+
+OPTS = dict(
+    max_level=5, group_size=256, subgroups=16, window_pad=256,
+    frontier_cap=4096, accept_cap=2048, near_cell_cap=1024,
+    near_particle_cap=2048, start_level=1, chunk_groups=1,
+)
+CFG = BHConfig(**OPTS)
+CFG_MONO = BHConfig(multipole="mono", **OPTS)
+
+
+def _setup(n, seed, dtype=jnp.float64):
+    pos, vel, mass = self_gravitating_disc(n, seed=seed)
+    st = ParticleState.create(pos, vel, mass, dtype=dtype)
+    params = SimParams.create(g_soft=0.02, theta2=0.5, dtype=dtype)
+    return st, params
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_MONO], ids=["quad", "mono"])
+def test_cached_matches_full_when_static(cfg):
+    """At identical positions the cached-topology eval must reproduce the
+    full walk: same rows, same fresh values, same kernels."""
+    st, params = _setup(800, seed=1)
+    m = st.effective_mass()
+    quad = cfg.multipole == "quad"
+    tree = build_octree(st.pos, m, params.bounds, cfg.max_level,
+                        quad=quad, quad_leaf=cfg.quad_leaf)
+    n = st.pos.shape[0]
+    a_full, s_full, topo = traverse_tree(
+        tree, params.bounds, params.theta2, params.g, params.g_soft, cfg, n,
+        return_topo=True,
+    )
+    tree_r = refresh_octree(tree, st.pos, m, quad=quad,
+                            quad_leaf=cfg.quad_leaf)
+    a_cached, s_cached = traverse_tree_cached(
+        tree_r, topo, params.theta2, params.g, params.g_soft, cfg, n,
+    )
+    np.testing.assert_allclose(np.asarray(a_cached), np.asarray(a_full),
+                               rtol=1e-12, atol=1e-14)
+    # topology-derived stats agree too
+    assert int(s_cached["dual_tiles"]) == int(s_full["dual_tiles"])
+    np.testing.assert_array_equal(np.asarray(s_cached["near_totals"]),
+                                  np.asarray(s_full["near_totals"]))
+
+
+def test_reuse_first_step_is_full_and_matches_plain():
+    st, params = _setup(500, seed=2)
+    m = st.effective_mass()
+    tree = build_octree(st.pos, m, params.bounds, CFG.max_level,
+                        quad=True, quad_leaf=CFG.quad_leaf)
+    topo0 = empty_topo(st.pos.shape[0], CFG, st.pos.dtype)
+    a_ref, _ = bh_accel(st.pos, m, params.bounds, params.theta2, params.g,
+                        params.g_soft, CFG)
+    acc, stats, tree1, topo1, age = bh_accel_reuse(
+        st.pos, m, params.bounds, params.theta2, params.g, params.g_soft,
+        tree, topo0, jnp.int32(0), CFG, 2,
+    )
+    assert int(stats["full_walk"]) == 1
+    assert int(age) == 1
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(a_ref),
+                               rtol=1e-12, atol=1e-14)
+    # second call at age 1: cached step, small motion
+    pos2 = st.pos + 1e-3
+    acc2, stats2, _, _, age2 = bh_accel_reuse(
+        pos2, m, params.bounds, params.theta2, params.g, params.g_soft,
+        tree1, topo1, age, CFG, 2,
+    )
+    assert int(stats2["full_walk"]) == 0
+    assert int(age2) == 2
+    a_fresh, _ = bh_accel(pos2, m, params.bounds, params.theta2, params.g,
+                          params.g_soft, CFG)
+    ref = np.linalg.norm(np.asarray(a_fresh), axis=1)
+    err = np.linalg.norm(np.asarray(acc2 - a_fresh), axis=1) / np.maximum(
+        ref, 1e-30)
+    alive = np.asarray(m) > 0
+    # staleness is bounded by the acceptance margin: the cached step's
+    # error vs a fresh walk stays far below the walk's own theta envelope
+    assert np.percentile(err[alive], 99) < 2e-2, np.percentile(err[alive], 99)
+    assert np.median(err[alive]) < 2e-3
+
+
+def test_movement_guard_forces_full_walk():
+    """A bulk shift of several leaf cells trips the moved-fraction guard
+    even when the cadence says 'cached'."""
+    st, params = _setup(400, seed=3)
+    m = st.effective_mass()
+    tree = build_octree(st.pos, m, params.bounds, CFG.max_level,
+                        quad=True, quad_leaf=CFG.quad_leaf)
+    topo0 = empty_topo(st.pos.shape[0], CFG, st.pos.dtype)
+    _, _, tree1, topo1, age = bh_accel_reuse(
+        st.pos, m, params.bounds, params.theta2, params.g, params.g_soft,
+        tree, topo0, jnp.int32(0), CFG, 4,
+    )
+    shifted = st.pos + jnp.asarray([1.0, 0.0, 0.0])  # ~3 leaf cells at L=5
+    _, stats, _, _, age2 = bh_accel_reuse(
+        shifted, m, params.bounds, params.theta2, params.g, params.g_soft,
+        tree1, topo1, age, CFG, 4,
+    )
+    assert int(stats["full_walk"]) == 1
+    assert float(stats["moved_frac"]) > 0.9
+    assert int(age2) == 1  # guard resets the cadence
+
+
+def test_reuse_rejects_unsupported_modes():
+    st, params = _setup(300, seed=4)
+    m = st.effective_mass()
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, near_sym=True)
+    tree = build_octree(st.pos, m, params.bounds, cfg.max_level, quad=True,
+                        quad_leaf=cfg.quad_leaf)
+    topo = empty_topo(st.pos.shape[0], cfg, st.pos.dtype)
+    with pytest.raises(ValueError, match="walk reuse"):
+        traverse_tree_cached(tree, topo, params.theta2, params.g,
+                             params.g_soft, cfg, st.pos.shape[0])
+
+
+@pytest.mark.slow
+def test_engine_trajectory_close_to_fresh():
+    """20 benchmark steps at walk_every=3 track the rebuild-every-step
+    engine closely (same criterion as the lazy engine's test)."""
+    pos, vel, mass = self_gravitating_disc(400, seed=5)
+    common = dict(bounds_width=10.0, dtype=jnp.float64,
+                  dt=3e-2, g_soft=0.02, theta2=0.5)
+    sim_reuse = Simulation(pos, vel, mass, engine="bh",
+                           engine_options=dict(walk_every=3, **OPTS),
+                           **common)
+    assert sim_reuse.engine.stateful
+    sim_ref = Simulation(pos, vel, mass, engine="bh",
+                         engine_options=OPTS, **common)
+    assert not sim_ref.engine.stateful
+    sim_reuse.run(20)
+    sim_ref.run(20)
+    p1, _, _, _ = sim_reuse.get_points()
+    p2, _, _, _ = sim_ref.get_points()
+    assert sim_reuse.n_alive == sim_ref.n_alive
+    err = np.linalg.norm(p1 - p2, axis=1)
+    assert np.median(err) < 1e-3, np.median(err)
