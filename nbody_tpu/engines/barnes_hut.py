@@ -39,6 +39,11 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     # positions in between (ops/traversal.py traverse_tree_cached).  1 =
     # the classic rebuild-every-step engine.  Guarded by the bh-lazy
     # moved-fraction trigger (walk_rebuild_frac) regardless of K.
+    # MEASURED VERDICT (VALIDATION.md §16): wins only at N <= ~64k
+    # (+11% @20k, wash @64k-131k, -8..10% @524k-1M — the cached step's
+    # refresh + node-row re-gathers outweigh the walk it skips at large
+    # N).  Opt-in only; the auto engine never selects bh in the win
+    # region (brute crossover ~60k).
     walk_every = int(options.pop("walk_every", 1))
     walk_rebuild_frac = float(options.pop("walk_rebuild_frac", 0.5))
     cfg = BHConfig(**options)

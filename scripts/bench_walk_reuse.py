@@ -54,6 +54,12 @@ PERF_CASES = [
     ("wr_131k_k1", 1 << 17, 1),
     ("wr_131k_k2", 1 << 17, 2),
     ("wr_131k_k4", 1 << 17, 4),
+    # 64k: the bottom of bh's auto range (crossover ~60k) — the reuse
+    # engine's win region is below the 131k wash point, so this is where
+    # a default flip would have to earn its keep
+    ("wr_64k_k1", 1 << 16, 1),
+    ("wr_64k_k2", 1 << 16, 2),
+    ("wr_64k_k4", 1 << 16, 4),
 ]
 
 GATE_CASES = [
@@ -63,6 +69,7 @@ GATE_CASES = [
     ("wg_1m_j4", 1 << 20, 4),
     ("wg_131k_j4", 1 << 17, 4),
     ("wg_2m_j4", 1 << 21, 4),
+    ("wg_64k_j4", 1 << 16, 4),
 ]
 
 
