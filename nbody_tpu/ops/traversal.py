@@ -191,6 +191,28 @@ class BHConfig:
     # only ~0.78x on the square, and the split-kernel + rim-assembly
     # overhead eats the remainder.  Kept (default OFF) as tested,
     # documented machinery; don't re-enable without new data.
+    sliding_window: bool = False  # gather-free window assembly (round 3,
+    # session 8) — MEASURED A WASH, opt-in only.  Premise: wstart =
+    # g*B - window_pad is a STATIC function of the group index except at
+    # the array edges, where the clamp keeps the vmapped dynamic_slice in
+    # bounds; dropping the clamp (virtual window, zero rows beyond the
+    # edges) lets assembly build the [G, W, 8] window as three dense
+    # shifted reshapes (_window_rows) — no per-group slice at all.
+    # VERDICT (dual_r3.jsonl sw_* rows, back-to-back TPU pairs
+    # 2026-08-19): 32.2 vs 33.3 @131k (-3%), 11.28/11.28 @524k,
+    # 6.21/6.22 @1M (two repeats), i.e. XLA was already lowering the
+    # clamped per-group dynamic_slice as cheap dense copies — the window
+    # assembly was never the gather this targeted (consistent with
+    # VALIDATION §15: slab assembly is small next to the delta/compaction
+    # scatters).  Kept as tested machinery.  Semantics when enabled:
+    # boundary groups (first/last of G) route clamp-covered cells to the
+    # near/fallback path instead (graceful, counted in stats); interior
+    # groups are bit-identical (tests/test_sliding_window.py).  Applies
+    # only when the window is unclipped (W == B + 2*pad) and pad <= B;
+    # near_sym keeps the clamped path (its rim gather would index
+    # negative wstart), and the domain path never slides (its
+    # halo-coverage proof REQUIRES the clamp, parallel/domain.py:300-310
+    # — its _group_collect call never passes sliding=True).
     wide: bool = False  # N >= 2^24 row format (domain path only): node
     # tables use the hi/lo range encoding (ops/tree.py decode_ranges),
     # fallback-cell containment switches from particle-index compare to the
@@ -637,7 +659,7 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
     )
     collect = partial(
         _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
-        phi=True,
+        phi=True, sliding=_sliding_ok(cfg, window),
     )
     vm_collect = jax.vmap(collect)
     n_groups = n_tot // B
@@ -664,10 +686,8 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         near_valid.reshape(G, cfg.near_cell_cap),
         cfg.near_particle_cap,
     )
-    wrows = jax.vmap(
-        lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)), (W, 8))
-    )(wstart)
-    wrows = wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
+    wrows = _window_rows(pmass8, wstart, wmask, W, cfg,
+                         _sliding_ok(cfg, W))
     nrows = pmass8[pidx]
     nrows = nrows.at[:, :, 3].set(jnp.where(pvalid, nrows[:, :, 3], 0.0))
     # multipole rows always ride the pair pass as monopoles here (idx -1
@@ -743,6 +763,7 @@ def _group_collect(
     gcode=None,
     local_bounds=None,
     phi: bool = False,
+    sliding: bool = False,
 ):
     """Traversal (collection only) for ONE group (vmapped over groups).
 
@@ -786,8 +807,14 @@ def _group_collect(
     ghi = jnp.max(jnp.where(has[..., None], spos, -big), axis=(0, 1))
     center = jnp.where(jnp.any(has), 0.5 * (glo + ghi), 0.0)
 
-    # sorted-index window around the group
-    wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
+    # sorted-index window around the group.  sliding: unclamped (virtual
+    # window, zero rows beyond the edges — must match _window_rows'
+    # dense construction); otherwise clamped into range for the
+    # dynamic_slice assembly (and the domain path's halo proof).
+    if sliding:
+        wstart = gidx[0] - cfg.window_pad
+    else:
+        wstart = jnp.clip(gidx[0] - cfg.window_pad, 0, max(n_total - W, 0))
     wend = wstart + W
 
     # initial frontier: all cells of the start level
@@ -1411,6 +1438,59 @@ def empty_topo(n: int, cfg: BHConfig, dtype) -> WalkTopo:
     )
 
 
+def _sliding_ok(cfg: BHConfig, W: int) -> bool:
+    """Static predicate: the gather-free sliding-window assembly applies
+    (see BHConfig.sliding_window).  Must be computed identically by the
+    walk (wstart formula) and every assembly site — it is a pure function
+    of (cfg, W), so consistency is structural."""
+    return (cfg.sliding_window
+            and W == cfg.group_size + 2 * cfg.window_pad
+            and cfg.window_pad <= cfg.group_size
+            and not cfg.near_sym
+            and not cfg.wide)
+
+
+def _window_rows(pmass8, wstart, wmask, W: int, cfg: BHConfig,
+                 sliding: bool, gstart=None):
+    """Assemble the [G, W, 8] sorted-neighbor window rows, mass-masked to
+    the covered cells.  sliding=True: dense shifted-reshape construction
+    (zero rows beyond the array edges — matches the walk's unclamped
+    wstart).  sliding=False: one dynamic_slice per group at the walk's
+    clamped wstart (the general path)."""
+    if sliding:
+        p, B = cfg.window_pad, cfg.group_size
+        n_tot = pmass8.shape[0]
+        G = n_tot // B
+        ctr = pmass8.reshape(G, B, 8)
+        if p:
+            zp = jnp.zeros((p, 8), pmass8.dtype)
+            zb = jnp.zeros((B, 8), pmass8.dtype)
+            # left rim of group g = rows [g*B - p, g*B): the first p rows
+            # of each B-block of pmass8 shifted DOWN by p (zeros for g=0)
+            left = jnp.concatenate([zp, pmass8[:-p]]).reshape(
+                G, B, 8)[:, :p]
+            # right rim = rows [(g+1)*B, (g+1)*B + p): first p rows of
+            # each block of pmass8 shifted UP by B (zeros past the end)
+            right = jnp.concatenate([pmass8[B:], zb]).reshape(
+                G, B, 8)[:, :p]
+            wrows = jnp.concatenate([left, ctr, right], axis=1)
+        else:
+            wrows = ctr
+        G_my = wstart.shape[0]
+        if G_my != G:
+            # sharded path: this shard's contiguous group range (dense
+            # leading-axis slice, still no gather)
+            z = jnp.int32(0)
+            wrows = jax.lax.dynamic_slice(
+                wrows, (gstart[0] // B, z, z), (G_my, W, 8))
+    else:
+        wrows = jax.vmap(
+            lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),
+                                             (W, 8))
+        )(wstart)
+    return wrows.at[:, :, 3].set(jnp.where(wmask, wrows[:, :, 3], 0.0))
+
+
 def _assemble_eval(pmass8, tgt8, gstart, tree, mono, pidx, pvalid, wmask,
                    wstart, center, acc_fb, theta2, g, g_soft,
                    cfg: BHConfig, W: int):
@@ -1442,12 +1522,8 @@ def _assemble_eval(pmass8, tgt8, gstart, tree, mono, pidx, pvalid, wmask,
                          tgt8[:, :, 3], 0.0)
         wrows = rrows
     else:
-        wrows = jax.vmap(
-            lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),
-                                             (W, 8))
-        )(wstart)  # [G, W, 8]
-        wrows = wrows.at[:, :, 3].set(
-            jnp.where(wmask, wrows[:, :, 3], 0.0))
+        wrows = _window_rows(pmass8, wstart, wmask, W, cfg,
+                             _sliding_ok(cfg, W), gstart)  # [G, W, 8]
     if cfg.multipole == "quad":
         # particle sources (exact) through the pair kernel; accepted nodes
         # through the separate quadrupole kernel (16-wide rows)
@@ -1521,6 +1597,7 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
 
     collect = partial(
         _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
+        sliding=_sliding_ok(cfg, window),
     )
     vm_collect = jax.vmap(collect)
 

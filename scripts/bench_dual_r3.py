@@ -262,6 +262,21 @@ CASES = [
     ("sg64_1m", 1 << 20, dict(subgroups=64)),
     ("sg32_1m", 1 << 20, dict(subgroups=32)),
     ("sg64_524k", 1 << 19, dict(subgroups=64)),
+    # session-8: sliding-window (gather-free) slab assembly A/B at the
+    # shipped tier defaults — BHConfig.sliding_window replaces the
+    # clamped vmapped dynamic_slice window gather with three dense
+    # shifted reshapes (traversal.py _window_rows).  Back-to-back pairs,
+    # two repeats at 1M (the <8% noise rule).
+    ("sw_131k_on", 1 << 17, dict()),
+    ("sw_131k_off", 1 << 17, dict(sliding_window=False)),
+    ("sw_524k_on", 1 << 19, dict()),
+    ("sw_524k_off", 1 << 19, dict(sliding_window=False)),
+    ("sw_1m_on", 1 << 20, dict()),
+    ("sw_1m_off", 1 << 20, dict(sliding_window=False)),
+    ("sw_1m_on2", 1 << 20, dict()),
+    ("sw_1m_off2", 1 << 20, dict(sliding_window=False)),
+    ("sw_2m_on", 1 << 21, dict()),
+    ("sw_2m_off", 1 << 21, dict(sliding_window=False)),
 ]
 
 
