@@ -158,6 +158,39 @@ def test_sliding_matches_dense_envelope():
     assert int(stats["accept_dropped"]) == 0
 
 
+def test_sliding_sharded_replicated_matches_single():
+    """Opt-in sliding on the replicated sharded path exercises
+    _window_rows' shard branch (dense leading-axis slice of the full
+    window by gstart): 8-way traversal sharding must agree with the
+    single-chip sliding run (same unclamped wstart formula on both
+    sides, so routing is identical; collective order only)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from nbody_tpu.api import Simulation
+    from nbody_tpu.parallel.sharded import ShardedSimulation
+
+    opts = dict(max_level=4, group_size=128, subgroups=8, window_pad=64,
+                frontier_cap=2048, accept_cap=1024, near_cell_cap=512,
+                near_particle_cap=512, start_level=1, chunk_groups=1,
+                sliding_window=True)
+    pos, vel, mass = self_gravitating_disc(500, seed=0)
+    common = dict(dt=3e-2, g_soft=0.02, theta2=1.0, bounds_width=10.0,
+                  dtype=jnp.float64, capacity=1024)
+    sharded = ShardedSimulation(pos, vel, mass, engine="bh",
+                                strategy="bh-replicated", n_devices=8,
+                                engine_options=opts, **common)
+    single = Simulation(pos, vel, mass, engine="bh", engine_options=opts,
+                        **common)
+    sharded.run(5)
+    single.run(5)
+    ps = sharded.get_points()[0]
+    p1 = single.get_points()[0]
+    np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
+
+
 def test_phi_sliding_roundoff():
     """bh_potential: the same route-only argument — U(on) == U(off) to f64
     roundoff (covered->near moves swap exact summation order only)."""
