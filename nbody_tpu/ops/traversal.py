@@ -205,9 +205,14 @@ class BHConfig:
     # assembly was never the gather this targeted (consistent with
     # VALIDATION §15: slab assembly is small next to the delta/compaction
     # scatters).  Kept as tested machinery.  Semantics when enabled:
-    # boundary groups (first/last of G) route clamp-covered cells to the
-    # near/fallback path instead (graceful, counted in stats); interior
-    # groups are bit-identical (tests/test_sliding_window.py).  Applies
+    # boundary groups (first/last of G) lose window coverage of the
+    # clamp-only cells, which re-enter the standard walk — θ-accepted as
+    # multipoles, opened, taken near, or fallback (graceful, counted in
+    # stats); their error stays inside the walk's own acceptance
+    # envelope but is NOT roundoff-exact in general (an uncovered cell
+    # past a Morton octant seam can be spatially far enough to accept).
+    # Interior groups are bit-identical (tests/test_sliding_window.py).
+    # Applies
     # only when the window is unclipped (W == B + 2*pad) and pad <= B;
     # near_sym keeps the clamped path (its rim gather would index
     # negative wstart), and the domain path never slides (its
@@ -1461,28 +1466,48 @@ def _window_rows(pmass8, wstart, wmask, W: int, cfg: BHConfig,
         p, B = cfg.window_pad, cfg.group_size
         n_tot = pmass8.shape[0]
         G = n_tot // B
-        ctr = pmass8.reshape(G, B, 8)
-        if p:
-            zp = jnp.zeros((p, 8), pmass8.dtype)
-            zb = jnp.zeros((B, 8), pmass8.dtype)
-            # left rim of group g = rows [g*B - p, g*B): the first p rows
-            # of each B-block of pmass8 shifted DOWN by p (zeros for g=0)
-            left = jnp.concatenate([zp, pmass8[:-p]]).reshape(
-                G, B, 8)[:, :p]
-            # right rim = rows [(g+1)*B, (g+1)*B + p): first p rows of
-            # each block of pmass8 shifted UP by B (zeros past the end)
-            right = jnp.concatenate([pmass8[B:], zb]).reshape(
-                G, B, 8)[:, :p]
-            wrows = jnp.concatenate([left, ctr, right], axis=1)
-        else:
-            wrows = ctr
         G_my = wstart.shape[0]
         if G_my != G:
-            # sharded path: this shard's contiguous group range (dense
-            # leading-axis slice, still no gather)
+            # sharded path: slice this shard's slab (its G_my contiguous
+            # groups plus both rims) out of the zero-padded source FIRST,
+            # so per-chip work is O(n_loc), then run the same dense
+            # construction on the local slab.  padded[i] = pmass8 row
+            # i - p, so group g's window starts at padded index g*B and
+            # the shard slab is padded[gfirst*B : gfirst*B + G_my*B + 2p].
+            zp = jnp.zeros((p, 8), pmass8.dtype)
+            padded = jnp.concatenate([zp, pmass8, zp]) if p else pmass8
             z = jnp.int32(0)
-            wrows = jax.lax.dynamic_slice(
-                wrows, (gstart[0] // B, z, z), (G_my, W, 8))
+            loc = jax.lax.dynamic_slice(
+                padded, (gstart[0], z), (G_my * B + 2 * p, 8))
+            if p:
+                # local-slab sliding windows: group i's window is
+                # loc[i*B : i*B + W]; the right-rim reshape needs G_my*B
+                # rows, so top up with discarded-by-[:, :p] zeros
+                left = loc[: G_my * B].reshape(G_my, B, 8)[:, :p]
+                ctr = loc[p: p + G_my * B].reshape(G_my, B, 8)
+                zfill = jnp.zeros((B, 8), pmass8.dtype)
+                right = jnp.concatenate([loc[B + p:], zfill])[
+                    : G_my * B].reshape(G_my, B, 8)[:, :p]
+                wrows = jnp.concatenate([left, ctr, right], axis=1)
+            else:
+                wrows = loc.reshape(G_my, B, 8)
+        else:
+            ctr = pmass8.reshape(G, B, 8)
+            if p:
+                zp = jnp.zeros((p, 8), pmass8.dtype)
+                zb = jnp.zeros((B, 8), pmass8.dtype)
+                # left rim of group g = rows [g*B - p, g*B): the first p
+                # rows of each B-block of pmass8 shifted DOWN by p (zeros
+                # for g=0)
+                left = jnp.concatenate([zp, pmass8[:-p]]).reshape(
+                    G, B, 8)[:, :p]
+                # right rim = rows [(g+1)*B, (g+1)*B + p): first p rows of
+                # each block of pmass8 shifted UP by B (zeros past the end)
+                right = jnp.concatenate([pmass8[B:], zb]).reshape(
+                    G, B, 8)[:, :p]
+                wrows = jnp.concatenate([left, ctr, right], axis=1)
+            else:
+                wrows = ctr
     else:
         wrows = jax.vmap(
             lambda ws: jax.lax.dynamic_slice(pmass8, (ws, jnp.int32(0)),

@@ -266,16 +266,21 @@ CASES = [
     # shipped tier defaults — BHConfig.sliding_window replaces the
     # clamped vmapped dynamic_slice window gather with three dense
     # shifted reshapes (traversal.py _window_rows).  Back-to-back pairs,
-    # two repeats at 1M (the <8% noise rule).
-    ("sw_131k_on", 1 << 17, dict()),
+    # two repeats at 1M (the <8% noise rule).  NOTE: the committed
+    # dual_r3.jsonl sw_* rows were measured 2026-08-19 in a process
+    # whose working-tree default was sliding_window=True, so their "on"
+    # arms used dict() and their cfg snapshots predate sliding_window in
+    # the whitelist below — the on/off arms there are distinguishable by
+    # name only.  The cases now set the flag explicitly both ways.
+    ("sw_131k_on", 1 << 17, dict(sliding_window=True)),
     ("sw_131k_off", 1 << 17, dict(sliding_window=False)),
-    ("sw_524k_on", 1 << 19, dict()),
+    ("sw_524k_on", 1 << 19, dict(sliding_window=True)),
     ("sw_524k_off", 1 << 19, dict(sliding_window=False)),
-    ("sw_1m_on", 1 << 20, dict()),
+    ("sw_1m_on", 1 << 20, dict(sliding_window=True)),
     ("sw_1m_off", 1 << 20, dict(sliding_window=False)),
-    ("sw_1m_on2", 1 << 20, dict()),
+    ("sw_1m_on2", 1 << 20, dict(sliding_window=True)),
     ("sw_1m_off2", 1 << 20, dict(sliding_window=False)),
-    ("sw_2m_on", 1 << 21, dict()),
+    ("sw_2m_on", 1 << 21, dict(sliding_window=True)),
     ("sw_2m_off", 1 << 21, dict(sliding_window=False)),
 ]
 
@@ -337,6 +342,7 @@ def main():
                     "eval_tile": rcfg.eval_tile,
                     "multipole": rcfg.multipole,
                     "near_sym": rcfg.near_sym,
+                    "sliding_window": rcfg.sliding_window,
                     "chunk_groups": rcfg.chunk_groups},
         }
         if want_stats:

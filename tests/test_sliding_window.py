@@ -11,9 +11,11 @@ irregular row gather on TPU).  Claims pinned here:
   * end-to-end forces are bit-identical to the clamped path for every
     particle OUTSIDE the first/last Morton-sorted group (interior groups
     see the same wstart either way);
-  * boundary-group particles only change SUMMATION ROUTE (clamp-covered
-    cells move from the exact window pass to the exact near pass), so in
-    f64 with generous caps the two paths agree to roundoff everywhere;
+  * boundary-group particles change ROUTING only: cells the clamp used
+    to cover re-enter the standard walk (θ-accepted / opened / near /
+    fallback), so their error stays inside the walk's own acceptance
+    envelope — but it is NOT roundoff-exact in general (an uncovered
+    cell past a Morton octant seam can be far enough to θ-accept);
   * the predicate turns itself off whenever the construction would be
     invalid (clipped window, pad > group, near_sym, wide).
 """
@@ -81,6 +83,35 @@ def test_window_rows_matches_padded_slices():
     np.testing.assert_array_equal(got, want)
 
 
+def test_window_rows_sharded_slab_matches_padded_slices():
+    """Sharded branch (G_my < G, gstart given): the local-slab
+    construction equals the shard's per-group slices of the zero-padded
+    full array, bitwise, for every shard including both edges."""
+    rng = np.random.default_rng(11)
+    B, p, G, G_my = 256, 64, 8, 2
+    n_tot = B * G
+    W = B + 2 * p
+    cfg = dataclasses.replace(CFG, group_size=B, window_pad=p)
+    pmass8 = rng.normal(size=(n_tot, 8)).astype(np.float32)
+    padded = np.concatenate(
+        [np.zeros((p, 8), np.float32), pmass8, np.zeros((p, 8), np.float32)]
+    )
+    for gfirst in range(0, G, G_my):
+        wmask = rng.random((G_my, W)) < 0.7
+        gs = np.arange(G_my, dtype=np.int32) * B + gfirst * B
+        wstart = gs - p  # unclamped, global
+        got = np.asarray(
+            _window_rows(jnp.asarray(pmass8), jnp.asarray(wstart),
+                         jnp.asarray(wmask), W, cfg, sliding=True,
+                         gstart=jnp.asarray(gs))
+        )
+        want = np.stack(
+            [padded[g * B: g * B + W] for g in range(gfirst, gfirst + G_my)]
+        )
+        want[:, :, 3] = np.where(wmask, want[:, :, 3], 0.0)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_window_rows_zero_pad_degenerates_to_reshape():
     rng = np.random.default_rng(3)
     B, G = 128, 4
@@ -120,11 +151,14 @@ def _forces(st, params, cfg):
     return np.asarray(acc), stats
 
 
-def test_end_to_end_interior_bitwise_boundary_roundoff():
-    """sliding on/off: interior groups bit-identical; boundary groups (the
-    only place the wstart formula differs) agree to f64 roundoff — their
-    clamp-covered cells move between two EXACT passes (window vs near), so
-    only summation order changes while both caps hold."""
+def test_end_to_end_interior_bitwise_boundary_enveloped():
+    """sliding on/off: interior groups bit-identical (same wstart, same
+    routing, same summation).  Boundary groups (the only place the wstart
+    formula differs) change ROUTING only — clamp-covered cells re-enter
+    the standard walk, where they may be θ-accepted as multipoles rather
+    than summed exactly — so they are gated at the walk's own acceptance
+    envelope, not roundoff (at this scene/seed the difference happens to
+    be ~1e-13, but that is scene-dependent)."""
     st = disc_state(4096, jnp.float64)
     params = SimParams.create(g_soft=0.02, theta2=1.0, dtype=jnp.float64)
     a_on, _ = _forces(st, params, CFG)
@@ -141,7 +175,7 @@ def test_end_to_end_interior_bitwise_boundary_roundoff():
     np.testing.assert_array_equal(a_on[~boundary], a_off[~boundary])
     scale = np.linalg.norm(a_off, axis=1) + 1e-12
     err = np.linalg.norm(a_on - a_off, axis=1) / scale
-    assert err.max() < 1e-12, err.max()
+    assert np.quantile(err, 0.99) < 5e-2, np.quantile(err, 0.99)
 
 
 def test_sliding_matches_dense_envelope():
@@ -191,13 +225,16 @@ def test_sliding_sharded_replicated_matches_single():
     np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
 
 
-def test_phi_sliding_roundoff():
-    """bh_potential: the same route-only argument — U(on) == U(off) to f64
-    roundoff (covered->near moves swap exact summation order only)."""
+def test_phi_sliding_enveloped():
+    """bh_potential: the same routing argument — boundary-group cells that
+    lose coverage may be θ-accepted, so U(on) vs U(off) is gated at the
+    far-field envelope diluted by the ≤2-of-G affected groups (the
+    observed difference at this scene is ~1e-13 relative; the gate leaves
+    room for a seed/config where a lost cell accepts)."""
     st = disc_state(4096, jnp.float64)
     params = SimParams.create(g_soft=0.02, theta2=1.0, dtype=jnp.float64)
     u_on, _ = bh_potential(st.pos, st.effective_mass(), params.bounds,
                            params.theta2, params.g, params.g_soft, CFG)
     u_off, _ = bh_potential(st.pos, st.effective_mass(), params.bounds,
                             params.theta2, params.g, params.g_soft, CFG_OFF)
-    assert abs(float(u_on) - float(u_off)) < 1e-10 * abs(float(u_off))
+    assert abs(float(u_on) - float(u_off)) < 5e-3 * abs(float(u_off))
