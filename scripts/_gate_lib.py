@@ -92,14 +92,24 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None,
         a = np.asarray(acc)
         if sample_idx is not None:
             a = a[sample_idx]
-        err = np.linalg.norm(a - r, axis=1)[alive] / np.maximum(
-            rn[alive], 1e-30)
+        abs_err = np.linalg.norm(a - r, axis=1)[alive]
+        err = abs_err / np.maximum(rn[alive], 1e-30)
+        # Floored-relative error: |Δa| / max(|a_ref|, median|a_ref|).  The
+        # plain relative metric is scene-sensitive — in spherical scenes
+        # (Plummer) the force vanishes toward the center, so tiny absolute
+        # errors on near-zero denominators dominate p99; this variant reads
+        # "absolute error in units of the typical force, unless the local
+        # force is larger" and is comparable across scenes.
+        typ = float(np.median(rn[alive]))
+        err_fl = abs_err / np.maximum(rn[alive], typ)
         rec = {
             "name": name,
             "n": n,
             "median": float(np.median(err)),
             "p99": float(np.percentile(err, 99)),
             "max": float(err.max()),
+            "p99_typ": float(np.percentile(err_fl, 99)),
+            "max_typ": float(err_fl.max()),
             "near_fallback": int(stats["near_fallback"]),
             "fb_spill": int(stats["fb_spill"]),
             "wall_s": round(time.perf_counter() - t0, 1),
