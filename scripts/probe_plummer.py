@@ -65,6 +65,13 @@ CONFIGS = [
     ("defaults", {}),
     ("ml8", dict(max_level=8)),
     ("cap2048", dict(near_particle_cap=2048)),
+    # Combined follow-up: the single-lever rows showed ml8's residual error
+    # rides budget overflow (accept_dropped 44-92k, frontier_fallback
+    # 10-34k), not resolution — so pair depth 8 with doubled walk budgets
+    # and the bigger near cap and measure whether the overflow error (not
+    # the leaf-resolution error) was the remaining tail.
+    ("dense", dict(max_level=8, near_particle_cap=2048, frontier_cap=4096,
+                   accept_cap=4096, near_cell_cap=4096, fb_cap=512)),
 ]
 WIDTHS = [("w40", 40.0), ("w10", 10.0)]
 
