@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "cut stay — both drift-cheap).  ~8%% slower at 1M for "
                    "~3.6x less energy drift at benchmark dt (VALIDATION.md "
                    "§10); bh engines only")
+    p.add_argument("--dense", action="store_true",
+                   help="BH steep-core profile (depth-8 leaf grid + doubled "
+                   "walk budgets): for centrally-concentrated scenes like a "
+                   "Plummer sphere — 7.6x better p99 force error there at "
+                   "~0.47x the disc-scene step rate, measured at 1M "
+                   "(VALIDATION.md §18); bh engines only")
     p.add_argument("--walk-every", type=int, default=1, metavar="K",
                    help="BH temporal walk reuse: run the tree walk every K "
                    "steps, re-evaluating the frozen traversal topology at "
@@ -107,6 +113,14 @@ def main(argv=None) -> dict:
         # explicit pad (not profile=) so the sharded BHConfig(**opts)
         # path accepts it too; same value as profile='accurate'
         eng_opts.update(window_pad=2048)
+    if args.dense:
+        if not args.engine.startswith("bh"):
+            raise SystemExit("--dense applies to bh engines only")
+        # explicit fields (not profile=) so the sharded BHConfig(**opts)
+        # path accepts them too; same stack as profile='dense'
+        from nbody_tpu.ops.traversal import DENSE_OVERRIDES
+
+        eng_opts.update(DENSE_OVERRIDES)
     if args.walk_every > 1:
         if not args.engine.startswith("bh") or args.engine == "bh-lazy":
             raise SystemExit("--walk-every applies to bh/bh-deep only")

@@ -32,8 +32,19 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     # benchmark-tuned cap/pad cuts) or 'accurate' (round-2 budgets — see
     # BHConfig.auto_for and VALIDATION.md §10 for the measured trade)
     profile = options.pop("profile", "fast")
+    if profile not in ("fast", "accurate", "dense"):
+        raise ValueError(f"profile must be 'fast', 'accurate' or 'dense', "
+                         f"got {profile!r}")
     if profile == "accurate":
         options.setdefault("window_pad", 2048)
+    elif profile == "dense":
+        # steep-core preset (VALIDATION.md §18) as explicit overrides, so
+        # both the auto_for path below and a fully-manual config get it;
+        # caller-supplied fields win
+        from nbody_tpu.ops.traversal import DENSE_OVERRIDES
+
+        for k, v in DENSE_OVERRIDES.items():
+            options.setdefault(k, v)
     # temporal walk reuse (engine option, not a BHConfig field): run the
     # collect walk every K steps, evaluating the frozen topology at fresh
     # positions in between (ops/traversal.py traverse_tree_cached).  1 =

@@ -58,6 +58,15 @@ from nbody_tpu.ops.tree import (
 )
 
 
+# profile='dense' field stack (auto_for / make_bh_engine / --dense): the
+# measured steep-core configuration from the 1M Plummer probe — depth 8 +
+# doubled walk budgets + the mid-N near cap (VALIDATION.md §18).  A single
+# shared constant so the engine/CLI/sharded spellings cannot drift.
+DENSE_OVERRIDES = dict(max_level=8, near_particle_cap=2048,
+                       frontier_cap=4096, accept_cap=4096,
+                       near_cell_cap=4096, fb_cap=512)
+
+
 @dataclass(frozen=True)
 class BHConfig:
     """Static traversal configuration (hashable; part of the jit key)."""
@@ -289,9 +298,9 @@ class BHConfig:
         6.13-6.21 steps/s at 1.34e-3 energy drift/200 steps, 'accurate'
         = 5.66 at 3.73e-4; full round-2 budgets (raise
         near_particle_cap manually) = 4.28 at 2.78e-4."""
-        if profile not in ("fast", "accurate"):
-            raise ValueError(f"profile must be 'fast' or 'accurate', "
-                             f"got {profile!r}")
+        if profile not in ("fast", "accurate", "dense"):
+            raise ValueError(f"profile must be 'fast', 'accurate' or "
+                             f"'dense', got {profile!r}")
         if n <= 32768:
             base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
@@ -371,6 +380,19 @@ class BHConfig:
             base = dict(group_size=8192, subgroups=128, block_dual=True,
                         dual_margin=1.2, near_particle_cap=512,
                         window_pad=2048)
+        if profile == "dense":
+            # Steep-core (high density-contrast) preset, measured at a 1M
+            # Plummer sphere (VALIDATION.md §18, results/plummer_1m.jsonl
+            # *_dense rows): depth 8 resolves the core 8x finer and the
+            # doubled walk budgets absorb the resulting frontier growth
+            # (accept drops 44k -> 3.2k at width 40).  7.6x better p99_typ
+            # than the disc-tuned defaults on that scene (1.11 -> 0.147)
+            # and 5.8x better median, at 0.47x the disc-scene step rate
+            # (2.79 vs 5.92 steps/s @1M).  Known limit: still ~3x over the
+            # disc accuracy envelope — core leaf cells denser than any
+            # static cap take self-excluded multipoles for their own
+            # neighborhood, which only density-ADAPTIVE depth removes.
+            base.update(DENSE_OVERRIDES)
         if profile == "accurate" and n > 32768:
             # restore ONLY the window pad: the drift-attribution split
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut

@@ -339,6 +339,11 @@ class ShardedSimulation:
             else:
                 if profile == "accurate":
                     opts.setdefault("window_pad", 2048)
+                elif profile == "dense":
+                    from nbody_tpu.ops.traversal import DENSE_OVERRIDES
+
+                    for k, v in DENSE_OVERRIDES.items():
+                        opts.setdefault(k, v)
                 bh_config = BHConfig(**opts)
             # "bh" = Morton-range domain decomposition (O(N/chips + halo)
             # per chip); "bh-replicated" = round-1 all-gather path (kept for
@@ -347,6 +352,14 @@ class ShardedSimulation:
                 strategy = "bh"
             pad_multiple = bh_config.group_size * bh_config.chunk_groups * n_dev
         elif engine in ("brute", "brute-pallas"):
+            # a bh strategy here would dispatch domain_accel with a raw
+            # default BHConfig, silently ignoring the engine choice (and
+            # tripping an internal divisibility assert at small N)
+            if strategy not in ("allgather", "ring"):
+                raise ValueError(
+                    f"strategy {strategy!r} requires engine='bh'/'bh-deep'; "
+                    f"brute engines take 'allgather' or 'ring'"
+                )
             pad_multiple = 128 * n_dev
         else:
             raise NotImplementedError(f"sharded engine {engine!r}")

@@ -229,3 +229,29 @@ def test_sharded_bh_auto_preset():
                             dt=3e-2, g_soft=0.02, theta2=1.0,
                             dtype=jnp.float32)
     assert acc._bh_config.window_pad == 2048
+
+
+def test_sharded_dense_profile_and_strategy_validation():
+    """profile='dense' reaches the sharded BHConfig in both the auto-preset
+    and explicit-group spellings (same DENSE_OVERRIDES constant as the
+    single-chip engine); a bh strategy with a brute engine is rejected
+    instead of silently dispatching domain_accel with a raw BHConfig."""
+    from nbody_tpu.ops.traversal import DENSE_OVERRIDES
+    from nbody_tpu.parallel.sharded import ShardedSimulation
+
+    pos, vel, mass = self_gravitating_disc(2000, seed=3)
+    common = dict(dt=3e-2, g_soft=0.02, theta2=1.0, dtype=jnp.float32)
+    auto = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                             engine_options=dict(profile="dense"), **common)
+    manual = ShardedSimulation(
+        pos, vel, mass, engine="bh", n_devices=8,
+        engine_options=dict(profile="dense", group_size=128, subgroups=8,
+                            chunk_groups=1, window_pad=64, start_level=1),
+        **common)
+    for k, v in DENSE_OVERRIDES.items():
+        assert getattr(auto._bh_config, k) == v, k
+        assert getattr(manual._bh_config, k) == v, k
+
+    with pytest.raises(ValueError, match="requires engine"):
+        ShardedSimulation(pos, vel, mass, engine="brute", strategy="bh",
+                          n_devices=8, **common)

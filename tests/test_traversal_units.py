@@ -204,3 +204,77 @@ def test_cli_accurate_flag_smoke():
     with pytest.raises(SystemExit):
         main(["-n", "256", "--steps", "1", "--engine", "brute",
               "--accurate", "--cpu"])
+
+
+def test_dense_profile_presets():
+    """profile='dense' applies the measured steep-core stack (VALIDATION.md
+    §18: depth 8 + doubled walk budgets + mid-N near cap) on top of the
+    size tier, leaving the tier's window/group/dual choices alone; explicit
+    caller fields beat the profile; engine spelling validates names."""
+    import pytest
+
+    from nbody_tpu.engines import get_engine
+    from nbody_tpu.ops.traversal import BHConfig, DENSE_OVERRIDES
+
+    fast = BHConfig.auto_for(1 << 20)
+    dense = BHConfig.auto_for(1 << 20, profile="dense")
+    for k, v in DENSE_OVERRIDES.items():
+        assert getattr(dense, k) == v
+    # fields the probe did not move stay at the tier preset
+    assert dense.window_pad == fast.window_pad
+    assert dense.group_size == fast.group_size
+    assert dense.block_dual == fast.block_dual
+    assert dense.multipole == fast.multipole
+    # alignment invariant survives the profile
+    assert (1 << 20) % (dense.group_size * dense.chunk_groups) == 0
+    # explicit override beats the profile (how cheap CPU tests shrink it)
+    over = BHConfig.auto_for(1 << 20, profile="dense", max_level=5)
+    assert over.max_level == 5
+    assert over.accept_cap == DENSE_OVERRIDES["accept_cap"]
+    with pytest.raises(ValueError):
+        get_engine("bh", profile="turbo")
+
+
+def test_dense_profile_functional():
+    """The dense profile drives the engine end-to-end (max_level shrunk to
+    keep the CPU pyramid small) and stays inside the small-N accuracy
+    envelope on the scene family it exists for."""
+    import dataclasses
+
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.engines import get_engine
+    from nbody_tpu.engines.brute_force import force_tiled
+    from nbody_tpu.scenes import plummer_sphere
+
+    n = 2048
+    pos, vel, mass = plummer_sphere(n, scale=1.0, seed=3)
+    state = ParticleState.create(pos, vel, mass, capacity=n,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=1e-3, g_soft=0.02, theta2=1.0,
+                              bounds_width=20.0, dtype=jnp.float32)
+    # Plummer tail: open-boundary semantics, as in scripts/probe_plummer.py
+    alive = np.asarray(state.alive) & np.asarray(
+        params.bounds.contains(state.pos))
+    state = dataclasses.replace(state, alive=jnp.asarray(alive))
+
+    eng = get_engine("bh", profile="dense", max_level=5)
+    m = state.effective_mass()
+    acc = np.asarray(eng.force(state.pos, m, params))
+    ref = np.asarray(force_tiled(state.pos, m, params))
+    a, r = acc[alive], ref[alive]
+    # typ-normalized error (plain relative divides by near-zero net
+    # central forces in spherical scenes — same metric as the 1M probe)
+    typ = np.mean(np.linalg.norm(r, axis=1))
+    err = np.linalg.norm(a - r, axis=1) / typ
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.percentile(err, 99) < 5e-2, np.percentile(err, 99)
+
+
+def test_cli_dense_flag_rejects_non_bh():
+    import pytest
+
+    from nbody_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["-n", "256", "--steps", "1", "--engine", "brute",
+              "--dense", "--cpu"])
