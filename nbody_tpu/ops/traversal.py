@@ -51,6 +51,7 @@ import jax.numpy as jnp
 
 from nbody_tpu.ops.tree import (
     LinearOctree,
+    _compact,
     build_octree,
     decode_ranges,
     level_offset,
@@ -746,21 +747,6 @@ def bh_potential(pos, mass, bounds, theta2, g, g_soft,
     tree = build_octree(pos_c, mass, b0, cfg.max_level, dim=cfg.dim,
                         quad=False, quad_leaf=False)
     return traverse_tree_phi(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
-
-
-def _compact(ids, keep, out_slots):
-    """Order-preserving compaction of ``ids[keep]`` into ``out_slots`` slots
-    via cumsum + scatter (O(F), no sort).
-    Returns (ids [out_slots], valid [out_slots], n_dropped)."""
-    slot = jnp.cumsum(keep) - 1
-    # kept entries beyond the cap, and all non-kept entries, write to the
-    # trash slot at index out_slots
-    slot = jnp.where(keep & (slot < out_slots), slot, out_slots)
-    out = jnp.zeros((out_slots + 1,), ids.dtype).at[slot].set(ids)[:out_slots]
-    n_keep = jnp.sum(keep)
-    valid = jnp.arange(out_slots) < jnp.minimum(n_keep, out_slots)
-    dropped = jnp.maximum(n_keep - out_slots, 0)
-    return out, valid, dropped
 
 
 def _push_rows(slab, offset, rows, mask, cap):

@@ -70,6 +70,28 @@ class LinearOctree:
     #: the traversal centralizes them about the node COM only for the few
     #: thousand rows it actually accepts.  None when built with quad=False.
     all_quad: jax.Array | None
+    #: density-adaptive refinement below the leaf level (built with
+    #: refine_levels > 0, else all None).  refine_tables[r] holds the
+    #: children of the level-(max_level+r) flagged cells as packed node rows
+    #: [refine_cap * branch, 8] (mass, mx, my, mz, range_start, range_end,
+    #: 0, 0) — the SAME row format as level_table, so the walk's acceptance/
+    #: coverage/fallback machinery applies unchanged.  The parent of row
+    #: j is slot j // branch; invalid slots carry zero mass and an empty
+    #: range.  Particles are sorted by DEEP Morton codes (depth max_level +
+    #: refine_levels, same grid origin — leaf codes are their prefixes), so
+    #: every refined cell is a contiguous sorted range.
+    refine_tables: Tuple[jax.Array, ...] | None = None
+    #: [branch^max_level] int32: flagged leaf cell -> its parent slot in
+    #: refine_tables[0] (children at rows slot*branch + k), -1 otherwise.
+    refine_slot_leaf: jax.Array | None = None
+    #: per refined level r < R: [refine_cap * branch] int32 mapping a
+    #: refine_tables[r] row to its parent slot in refine_tables[r+1], -1 if
+    #: that cell was not refined further.
+    refine_child_slot: Tuple[jax.Array, ...] | None = None
+    #: [2] int32 (total flagged cells across levels, flagged cells dropped
+    #: because refine_cap was full — graceful: dropped cells keep the
+    #: unrefined near/fallback path).
+    refine_stats: jax.Array | None = None
 
     @property
     def max_level(self) -> int:
@@ -203,6 +225,17 @@ def _prefix_range_sums(vals, starts):
     (lo_e - lo_s) keeps that accuracy: the hi difference is exact by
     Sterbenz whenever it nearly cancels, and the lo difference carries
     the residual."""
+    P = _build_prefix_table(vals)
+    K = vals.shape[1]
+    R = P[starts]  # [C + 1, 8]
+    d = R[1:] - R[:-1]
+    return d[:, :K] + d[:, K:2 * K]
+
+
+def _build_prefix_table(vals):
+    """Double-float prefix-sum table for _prefix_range_sums: [N, K<=4] ->
+    [N+1, 8] (hi columns | lo columns | zero padding), one 8-wide row gather
+    per range boundary."""
     N, K = vals.shape
     assert K <= 4, K
 
@@ -221,9 +254,17 @@ def _prefix_range_sums(vals, starts):
     parts = [jnp.concatenate([zero, hi]), jnp.concatenate([zero, lo])]
     if pad is not None:
         parts.append(pad)
-    P = jnp.concatenate(parts, axis=1)  # [N+1, 8] row-gather table (hi|lo)
-    R = P[starts]  # [C + 1, 8]
-    d = R[1:] - R[:-1]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _range_sums_from_table(P, starts, ends, K):
+    """Per-range sums from a _build_prefix_table table for ARBITRARY
+    (start, end) pairs (the refined build's ranges are not consecutive
+    boundaries).  Same double-float boundary-difference accuracy argument
+    as _prefix_range_sums."""
+    Rs = P[starts]
+    Re = P[ends]
+    d = Re - Rs
     return d[:, :K] + d[:, K:2 * K]
 
 
@@ -233,6 +274,115 @@ def _prefix_leaf_stats(pos_s, mass_s, leaf_starts):
     w4 = jnp.concatenate([mass_s[:, None], pos_s * mass_s[:, None]], axis=1)
     vals = _prefix_range_sums(w4, leaf_starts)
     return vals[:, 0], vals[:, 1:4]
+
+
+def _compact(ids, keep, out_slots):
+    """Order-preserving compaction of ``ids[keep]`` into ``out_slots`` slots
+    via cumsum + scatter (O(F), no sort).
+    Returns (ids [out_slots], valid [out_slots], n_dropped)."""
+    slot = jnp.cumsum(keep) - 1
+    # kept entries beyond the cap, and all non-kept entries, write to the
+    # trash slot at index out_slots
+    slot = jnp.where(keep & (slot < out_slots), slot, out_slots)
+    out = jnp.zeros((out_slots + 1,), ids.dtype).at[slot].set(ids)[:out_slots]
+    n_keep = jnp.sum(keep)
+    valid = jnp.arange(out_slots) < jnp.minimum(n_keep, out_slots)
+    dropped = jnp.maximum(n_keep - out_slots, 0)
+    return out, valid, dropped
+
+
+def _build_refined(pos_s, mass_s, deep_code_s, leaf_counts, max_level: int,
+                   refine_levels: int, refine_cap: int, threshold: int,
+                   branch: int, dim: int, ftype):
+    """Density-adaptive refinement below the dense pyramid's leaf level
+    (the per-octant-depth build motivated by VALIDATION.md §18: no static
+    depth resolves a 1e5:1 density-contrast core at the disc envelope —
+    the reference's pointer trees get this for free by construction,
+    src/manual/barnes_hut.rs:143-183; here it is a compacted extension of
+    the dense pyramid so shapes stay static under jit).
+
+    Leaf cells with more than ``threshold`` particles are flagged and their
+    children materialized as packed node rows; children still above the
+    threshold recurse, up to ``refine_levels`` extra levels with at most
+    ``refine_cap`` refined parents per level (overflow degrades gracefully
+    to the unrefined path, counted).  Particles must be sorted by DEEP
+    Morton codes (depth max_level + refine_levels, same grid origin) so
+    every refined cell is one contiguous sorted range; ranges come from one
+    vectorized ``searchsorted`` per level (cell-count-proportional — the
+    particle-proportional alternatives are segment-sums the dense build
+    already showed cost ~10 ms each at 1M), and mass/mpos from the same
+    double-float prefix table as the leaf stats.
+
+    Returns (refine_tables, refine_slot_leaf, refine_child_slot,
+    refine_stats) — see the LinearOctree field docs."""
+    n_leaf = branch ** max_level
+    L_deep = max_level + refine_levels
+    rows_per = refine_cap * branch
+
+    # one prefix table serves every refined level's (mass, m*pos) sums
+    w4 = jnp.concatenate([mass_s[:, None], pos_s * mass_s[:, None]], axis=1)
+    P = _build_prefix_table(w4)
+
+    flagged = leaf_counts.astype(jnp.int32) > threshold
+    n_flagged = jnp.sum(flagged).astype(jnp.int32)
+    cell_ids = jnp.arange(n_leaf, dtype=jnp.int32)
+    p_codes, p_valid, dropped = _compact(cell_ids, flagged, refine_cap)
+    total_flagged = n_flagged
+    total_dropped = dropped.astype(jnp.int32)
+    slot_leaf = (
+        jnp.full((n_leaf + 1,), -1, jnp.int32)
+        .at[jnp.where(p_valid, p_codes, n_leaf)]
+        .set(jnp.arange(refine_cap, dtype=jnp.int32))[:n_leaf]
+    )
+
+    tables = []
+    child_maps = []
+    for r in range(1, refine_levels + 1):
+        child_codes = (
+            p_codes[:, None] * branch + jnp.arange(branch, dtype=jnp.int32)
+        ).reshape(rows_per)
+        child_valid = jnp.repeat(p_valid, branch)
+        shift = dim * (L_deep - (max_level + r))
+        lo = jnp.where(child_valid, child_codes << shift, 0)
+        hi = jnp.where(child_valid, (child_codes + 1) << shift, 0)
+        cs = jnp.searchsorted(deep_code_s, lo, side="left").astype(jnp.int32)
+        ce = jnp.searchsorted(deep_code_s, hi, side="left").astype(jnp.int32)
+        cs = jnp.where(child_valid, cs, 0)
+        ce = jnp.where(child_valid, ce, 0)
+        sums = _range_sums_from_table(P, cs, ce, 4)
+        m = jnp.where(child_valid & (ce > cs), sums[:, 0], 0.0)
+        zero = jnp.zeros((rows_per,), ftype)
+        tables.append(
+            jnp.stack(
+                [
+                    m.astype(ftype),
+                    sums[:, 1].astype(ftype),
+                    sums[:, 2].astype(ftype),
+                    sums[:, 3].astype(ftype),
+                    cs.astype(ftype),
+                    ce.astype(ftype),
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )
+        )
+        if r < refine_levels:
+            counts = ce - cs
+            flag_r = child_valid & (counts > threshold)
+            rows_idx = jnp.arange(rows_per, dtype=jnp.int32)
+            p_rows, p_valid, dropped = _compact(rows_idx, flag_r, refine_cap)
+            total_flagged = total_flagged + jnp.sum(flag_r).astype(jnp.int32)
+            total_dropped = total_dropped + dropped.astype(jnp.int32)
+            child_maps.append(
+                jnp.full((rows_per + 1,), -1, jnp.int32)
+                .at[jnp.where(p_valid, p_rows, rows_per)]
+                .set(jnp.arange(refine_cap, dtype=jnp.int32))[:rows_per]
+            )
+            p_codes = jnp.where(p_valid, child_codes[p_rows], 0)
+
+    stats = jnp.stack([total_flagged, total_dropped])
+    return tuple(tables), slot_leaf, tuple(child_maps), stats
 
 
 #: Beyond this N, f32 node-table range columns lose integer exactness; the
@@ -342,10 +492,14 @@ def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,
     return tuple(level_mass), tuple(level_mpos), tuple(level_table), leaf_starts
 
 
-@partial(jax.jit, static_argnames=("max_level", "dim", "quad", "quad_leaf"))
+@partial(jax.jit, static_argnames=("max_level", "dim", "quad", "quad_leaf",
+                                   "refine_levels", "refine_cap",
+                                   "refine_threshold"))
 def build_octree(pos, mass, bounds, max_level: int = 7,
                  dim: int = 3, quad: bool = False,
-                 quad_leaf: bool = True) -> LinearOctree:
+                 quad_leaf: bool = True, refine_levels: int = 0,
+                 refine_cap: int = 8192,
+                 refine_threshold: int = 512) -> LinearOctree:
     """pos [N,D], mass [N] (dead particles must already have mass 0).
     ``bounds`` is the domain box; the tree grid is the half-cell-shifted
     version (see grid_bounds).
@@ -353,17 +507,30 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
     dim=2 builds a QUADTREE (2D Morton codes, 4 children per cell); the
     stored coordinate arrays stay 3-wide with z = 0 so the traversal is
     dimension-agnostic (the reference is generic over D the same way,
-    src/shared.rs:46-59)."""
+    src/shared.rs:46-59).
+
+    refine_levels > 0 additionally materializes up to ``refine_levels``
+    density-adaptive levels below the leaf grid for cells holding more than
+    ``refine_threshold`` particles (_build_refined).  Particles are then
+    sorted by DEEP Morton codes on the SAME grid origin, so ``code_s`` (the
+    deep codes' leaf-level prefixes) and every coarse-pyramid consumer are
+    unchanged; only the within-leaf-cell particle order differs."""
     n = pos.shape[0]
     _check_range_dtype(n, pos.dtype)
     branch = 1 << dim
     n_leaf = branch ** max_level
     gb = grid_bounds(bounds, max_level)
 
-    codes = morton.cell_codes(pos[:, :dim], gb, max_level)
+    L_deep = max_level + refine_levels
+    assert L_deep <= (morton.MAX_LEVEL_3D if dim == 3 else
+                      morton.MAX_LEVEL_2D), (
+        f"max_level + refine_levels = {L_deep} exceeds the "
+        f"{dim}D Morton code depth limit"
+    )
+    codes = morton.cell_codes(pos[:, :dim], gb, L_deep)
     # dead particles (mass 0) get the sentinel so they cluster at the sorted
     # tail and never match a cell range during near-field gathering
-    codes = jnp.where(mass > 0, codes, jnp.int32(n_leaf))
+    codes = jnp.where(mass > 0, codes, jnp.int32(branch ** L_deep))
 
     if dim == 2:
         pos = jnp.concatenate([pos, jnp.zeros((n, 1), pos.dtype)], axis=1)
@@ -372,10 +539,14 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
     # (101 ms vs 124 ms at N=1M on v5e, results/tune_build_1m.jsonl); the
     # iota payload makes the permutation identical to a stable argsort
     iota = jnp.arange(n, dtype=jnp.int32)
-    code_s, order, xs, ys, zs, mass_s = jax.lax.sort(
+    deep_code_s, order, xs, ys, zs, mass_s = jax.lax.sort(
         (codes, iota, pos[:, 0], pos[:, 1], pos[:, 2], mass), num_keys=1
     )
     pos_s = jnp.stack([xs, ys, zs], axis=1)
+    # leaf-level codes are the deep codes' prefixes (sentinel included:
+    # branch^L_deep >> dim*R == branch^L); with refine_levels == 0 this is
+    # the identity, preserving the tuned path bit-for-bit
+    code_s = deep_code_s >> (dim * refine_levels)
 
     # leaf level: ONE sorted segment-sum (counts — ranges need it), then
     # mass/mpos from compensated prefix sums + a boundary row gather
@@ -416,6 +587,16 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
                              pos.dtype, quad_leaf)
         all_quad = _quad_pyramid(q, top, branch, pos.dtype)
 
+    refine = {}
+    if refine_levels > 0:
+        tables, slot_leaf, child_maps, rstats = _build_refined(
+            pos_s, mass_s, deep_code_s, leaf_counts, max_level,
+            refine_levels, refine_cap, refine_threshold, branch, dim,
+            pos.dtype,
+        )
+        refine = dict(refine_tables=tables, refine_slot_leaf=slot_leaf,
+                      refine_child_slot=child_maps, refine_stats=rstats)
+
     return LinearOctree(
         pos_s=pos_s,
         mass_s=mass_s,
@@ -426,6 +607,7 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
         level_mpos=level_mpos,
         level_table=level_table,
         all_quad=all_quad,
+        **refine,
     )
 
 
