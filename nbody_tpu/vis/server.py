@@ -50,7 +50,8 @@ class SimLoop(threading.Thread):
         self.steps_done = 0
         self.step_time = 0.0
         self.frame_times = deque(maxlen=60)  # reference 60-sample ring
-        self._stop = False
+        self._halt = False  # NOT "_stop": threading.Thread.join() calls its
+        # internal _stop() method, which a bool attribute would shadow
         self._pending = 0  # manual single steps (+fwd/-back)
 
     # -- controls ----------------------------------------------------------
@@ -83,7 +84,7 @@ class SimLoop(threading.Thread):
     # -- loop ---------------------------------------------------------------
 
     def run(self):
-        while not self._stop:
+        while not self._halt:
             frame_start = time.perf_counter()
             did = 0
             with self.lock:
@@ -135,6 +136,16 @@ class SimLoop(threading.Thread):
         if not self.frame_times:
             return 0.0
         return len(self.frame_times) / max(sum(self.frame_times), 1e-9)
+
+    def stop(self, timeout: float = 5.0):
+        """Stop the frame loop and join the thread (idempotent).  Without
+        this the daemon thread outlives its VisServer and keeps waking at
+        the fps cap for the rest of the process — in-process callers
+        (tests, notebooks) must not leak stepping threads into later
+        JAX work."""
+        self._halt = True
+        if self.is_alive():
+            self.join(timeout)
 
 
 class VisServer:
@@ -297,11 +308,22 @@ class VisServer:
         self.httpd = httpd
         print(f"nbody_tpu visualizer: http://{self.host}:{self.port}/")
         if block:
-            httpd.serve_forever()
+            try:
+                httpd.serve_forever()
+            finally:
+                self.loop.stop()
         else:
             t = threading.Thread(target=httpd.serve_forever, daemon=True)
             t.start()
         return httpd
+
+    def stop(self):
+        """Shut down the HTTP server AND the stepping thread (idempotent).
+        Non-blocking callers of serve() own this; httpd.shutdown() alone
+        leaves the SimLoop thread running."""
+        if getattr(self, "httpd", None) is not None:
+            self.httpd.shutdown()
+        self.loop.stop()
 
 
 def run(sim, host="127.0.0.1", port=8000, max_points=100_000):

@@ -108,7 +108,7 @@ def main(n=1_000_000):
     print(json.dumps(row))
     with open("results/vis_1m_tpu.json", "a") as f:
         f.write(json.dumps(row) + "\n")
-    srv.httpd.shutdown()
+    srv.stop()
 
 
 if __name__ == "__main__":

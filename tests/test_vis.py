@@ -113,4 +113,6 @@ def test_http_endpoints():
         meta = json.loads(urllib.request.urlopen(req).read())
         assert abs(meta["settings"]["theta2"] - 0.25) < 1e-6
     finally:
-        httpd.shutdown()
+        srv.stop()  # httpd AND the SimLoop thread (must not leak into
+        # later tests' JAX work)
+        assert not srv.loop.is_alive()

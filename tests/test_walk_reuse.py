@@ -21,6 +21,27 @@ from nbody_tpu.ops.traversal import (
 from nbody_tpu.ops.tree import build_octree, refresh_octree
 from nbody_tpu.scenes import self_gravitating_disc
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """XLA's deserialize_executable SEGFAULTS (deterministically, 3/3)
+    reading this module's cached-topology program back from the persistent
+    compile cache in full-suite process state (2026-08-19; fine in
+    isolation, fine when compiled fresh).  Compile instead of
+    deserializing here — ~30 s of the suite's budget for a crash-free
+    run."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_TEST_CACHE",
+                       os.path.expanduser("~/.cache/jax_nbody_tests")),
+    )
+
+
 OPTS = dict(
     max_level=5, group_size=256, subgroups=16, window_pad=256,
     frontier_cap=4096, accept_cap=2048, near_cell_cap=1024,
