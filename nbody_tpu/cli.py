@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "Plummer sphere — 7.6x better p99 force error there at "
                    "~0.47x the disc-scene step rate, measured at 1M "
                    "(VALIDATION.md §18); bh engines only")
+    p.add_argument("--refine", type=int, default=0, metavar="R",
+                   help="BH density-adaptive depth: materialize up to R "
+                   "extra tree levels below the leaf grid for cells denser "
+                   "than the near-field budget, and descend them in the "
+                   "walk (BHConfig.refine_levels).  The per-octant answer "
+                   "for steep cores a static grid cannot resolve "
+                   "(VALIDATION.md §18/§19); single-device bh engines only")
     p.add_argument("--walk-every", type=int, default=1, metavar="K",
                    help="BH temporal walk reuse: run the tree walk every K "
                    "steps, re-evaluating the frozen traversal topology at "
@@ -121,6 +128,15 @@ def main(argv=None) -> dict:
         from nbody_tpu.ops.traversal import DENSE_OVERRIDES
 
         eng_opts.update(DENSE_OVERRIDES)
+    if args.refine:
+        if not args.engine.startswith("bh") or args.engine == "bh-lazy":
+            raise SystemExit("--refine applies to bh/bh-deep only")
+        if args.devices and args.devices > 1:
+            raise SystemExit("--refine is single-device only")
+        if args.walk_every > 1:
+            raise SystemExit("--refine and --walk-every are exclusive "
+                             "(refined rows have no cached-topology route)")
+        eng_opts.update(refine_levels=args.refine)
     if args.walk_every > 1:
         if not args.engine.startswith("bh") or args.engine == "bh-lazy":
             raise SystemExit("--walk-every applies to bh/bh-deep only")

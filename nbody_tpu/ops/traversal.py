@@ -243,8 +243,60 @@ class BHConfig:
     # (census at N=131k, theta^2=1: p99 expanding parents per level
     # 10/14/27/66/190 for levels 2-6), so small coarse-level frontiers cut
     # the gather volume ~2x; overflow degrades to monopole and is counted.
+    refine_levels: int = 0  # density-adaptive depth (round 3, session 10):
+    # extra tree levels BELOW max_level for leaf cells holding more than
+    # refine_threshold particles (ops/tree.py _build_refined).  The walk
+    # descends flagged cells instead of dumping them on the near/fallback
+    # path, so a 1e5:1 density-contrast core gets leaf resolution no static
+    # max_level can afford globally (VALIDATION.md §18: 8x global cells
+    # lose 40%+ at 2M/4M; the refined tables cost O(refine_cap) per level).
+    # Descended cells' children can be window-covered (exact), θ-accepted
+    # (evaluated as monopoles via the spill-row mechanism — small cells at
+    # accepted distance are past the quad's win anyway), taken near as
+    # explicit sorted ranges, descended further, or degraded to
+    # self-excluded multipole fallback — never dropped.  0 = off (the
+    # tuned default path, bit-identical).  Single-chip only: incompatible
+    # with wide/domain runs, the cached-topology paths (walk_every > 1,
+    # bh-lazy) and fb_quad — all rejected loudly.
+    refine_cap: int = 8192  # refined parent cells per extra level (global,
+    # build-time); flagged cells beyond it keep the unrefined path
+    # (counted in tree.refine_stats[1])
+    refine_threshold: int = 0  # particles above which a cell is refined;
+    # 0 = auto (near_particle_cap — a cell that cannot fit the near budget
+    # is exactly one whose multipole fallback carries the leaf-resolution
+    # error)
+    refine_frontier: int = 512  # walk frontier slots per refined level per
+    # group (multiple of branch); overflow degrades to near/fallback
+    refine_near_cell_cap: int = 2048  # refined-near ranges per group
+    refine_near_particle_cap: int = 8192  # refined-near particles per
+    # group (a separate budget from near_particle_cap: refined ranges are
+    # exactly the core neighborhoods the coarse budget could not hold)
 
     def __post_init__(self):
+        if self.refine_levels:
+            branch = 1 << self.dim
+            limit = 10 if self.dim == 3 else 15
+            if self.max_level + self.refine_levels > limit:
+                raise ValueError(
+                    f"max_level + refine_levels = "
+                    f"{self.max_level + self.refine_levels} exceeds the "
+                    f"{self.dim}D Morton depth limit ({limit})"
+                )
+            if self.wide:
+                raise ValueError(
+                    "refine_levels is single-chip only (wide row format is "
+                    "the domain-decomposed path)"
+                )
+            if self.fb_quad:
+                raise ValueError(
+                    "refine_levels does not support fb_quad (refined "
+                    "fallback rows have no quadrupole table entry)"
+                )
+            if self.refine_frontier <= 0 or self.refine_frontier % branch:
+                raise ValueError(
+                    f"refine_frontier must be a positive multiple of "
+                    f"{branch}, got {self.refine_frontier}"
+                )
         # fb rows can be leaf cells; their quadrupole gather needs the leaf
         # level present in the table.  A ValueError, not an assert: under
         # ``python -O`` an assert is stripped and the fb gather would index
@@ -274,6 +326,21 @@ class BHConfig:
     @property
     def window(self) -> int:
         return self.group_size + 2 * self.window_pad
+
+    @property
+    def refine_threshold_resolved(self) -> int:
+        """0 = auto: a cell that cannot fit the near-field particle budget
+        is exactly one whose fallback multipole carries leaf-resolution
+        error — the cells refinement exists for."""
+        return self.refine_threshold or self.near_particle_cap
+
+    def cell_w2s(self, width):
+        """Squared cell widths for every walk level, refined levels
+        included (index l = tree level l)."""
+        top = self.max_level + self.refine_levels
+        return tuple(
+            (width / (1 << l)) * (width / (1 << l)) for l in range(top + 1)
+        )
 
     @staticmethod
     def auto_for(n: int, profile: str = "fast", **overrides) -> "BHConfig":
@@ -681,10 +748,12 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
     )
     window = min(cfg.window, n_tot)
     gidx = jnp.arange(n_tot, dtype=jnp.int32)
-    w = bounds.width
-    cell_w2 = tuple(
-        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
-    )
+    cell_w2 = cfg.cell_w2s(bounds.width)
+    if cfg.refine_levels and tree.refine_tables is None:
+        raise ValueError(
+            "cfg.refine_levels > 0 but the tree was built without "
+            "refinement"
+        )
     collect = partial(
         _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
         phi=True, sliding=_sliding_ok(cfg, window),
@@ -699,14 +768,14 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, phi_fb,
-     _fbs, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     _fbs, rnear, rnear_valid, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G = n_groups
     W = window
     mono = mono.reshape(G, cfg.accept_cap, 8)
     wmask = wmask.reshape(G, W)
     wstart = wstart.reshape(G)
     phi_fb = phi_fb.reshape(G, B)
-    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, _rntot = (s.reshape(-1) for s in stats_t)
 
     pidx, pvalid, _ntot = _expand_ranges(
         tree.level_table[cfg.max_level],
@@ -714,6 +783,15 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         near_valid.reshape(G, cfg.near_cell_cap),
         cfg.near_particle_cap,
     )
+    if cfg.refine_levels:
+        RC = cfg.refine_near_cell_cap
+        rnear = rnear.reshape(G, RC, 2)
+        pidx_r, pvalid_r, _ = _expand_from_ranges(
+            rnear[..., 0], rnear[..., 1], rnear_valid.reshape(G, RC),
+            cfg.refine_near_particle_cap,
+        )
+        pidx = jnp.concatenate([pidx, pidx_r], axis=1)
+        pvalid = jnp.concatenate([pvalid, pvalid_r], axis=1)
     wrows = _window_rows(pmass8, wstart, wmask, W, cfg,
                          _sliding_ok(cfg, W))
     nrows = pmass8[pidx]
@@ -745,7 +823,10 @@ def bh_potential(pos, mass, bounds, theta2, g, g_soft,
     pos_c = pos - bounds.center
     b0 = bounds.centered()
     tree = build_octree(pos_c, mass, b0, cfg.max_level, dim=cfg.dim,
-                        quad=False, quad_leaf=False)
+                        quad=False, quad_leaf=False,
+                        refine_levels=cfg.refine_levels,
+                        refine_cap=cfg.refine_cap,
+                        refine_threshold=cfg.refine_threshold_resolved)
     return traverse_tree_phi(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
 
 
@@ -851,6 +932,22 @@ def _group_collect(
     # window-coverage diff array (+1 at covered range start, -1 past its end)
     delta = jnp.zeros((W + 1,), jnp.int32)
 
+    # density-adaptive descent below the leaf level (cfg.refine_levels > 0):
+    # refined-near entries are explicit sorted RANGES (the refined tables
+    # are slot-indexed, not a dense grid, so there is no cell-id table for
+    # the post-walk expansion to gather from), budgeted separately
+    R = cfg.refine_levels
+    RC = cfg.refine_near_cell_cap if R else 0
+    if R:
+        assert local_bounds is None, (
+            "refine_levels is gated off the domain-decomposed path"
+        )
+        rf_parent_cap = cfg.refine_frontier // branch
+    rnear_cs = jnp.zeros((RC + 1,), jnp.int32)
+    rnear_ce = jnp.zeros((RC + 1,), jnp.int32)
+    rn_off = jnp.int32(0)
+    rn_pcnt = jnp.int32(0)
+
     for l in range(cfg.start_level, L + 1):
         # ONE packed-row gather per slot: (m, mx, my, mz, start, end, _, _)
         row = tree.level_table[l][ids]  # [F, 8]
@@ -891,6 +988,15 @@ def _group_collect(
             # Domain runs split by gather locality: cells inside the chip's
             # halo slab use the (large) local budget, Morton-far seam cells
             # the (small) far budget that bounds the collective.
+            if R:
+                # flagged-and-materialized cells descend into the refined
+                # tables instead of fighting for the near/fallback budgets;
+                # frontier overflow falls back to the unrefined path
+                rbase = tree.refine_slot_leaf[ids]
+                descend = expand & (rbase >= 0)
+                over_r = descend & (jnp.cumsum(descend) > rf_parent_cap)
+                descend = descend & ~over_r
+                expand = expand & ~descend
             if local_bounds is not None:
                 is_local = (cs >= local_bounds[0]) & (ce <= local_bounds[1])
             else:
@@ -959,6 +1065,98 @@ def _group_collect(
                 far_ids, far_valid, _ = _compact(
                     ids, expand_far, cfg.far_cell_cap
                 )
+            if R:
+                rb, rbv, _ = _compact(rbase, descend, rf_parent_cap)
+                rids = (
+                    rb[:, None] * branch + jnp.arange(branch, dtype=jnp.int32)
+                ).reshape(rf_parent_cap * branch)
+                rvalid = jnp.repeat(rbv, branch)
+
+    # refined levels: same machinery over the slot-indexed refined tables.
+    # ``rids`` are ROW indices into refine_tables[r-1]; children of a
+    # further-refined row j live at rows child_slot[j]*branch + k (build-
+    # time compaction).  Cells here are below leaf size, so every outcome
+    # is at worst the unrefined path's quality: window-covered children are
+    # EXACT, accepted ones are small monopoles (level -1 rides the existing
+    # spill-row mechanism: quadrupole zeroed, cached-topology re-gather
+    # rejected by the traverse_tree gate), near ranges are exact pair work,
+    # and overflow keeps the self-excluded multipole fallback.
+    for r in range(1, R + 1):
+        row = tree.refine_tables[r - 1][rids]  # [F, 8]
+        m = jnp.where(rvalid, row[:, 0], 0.0)
+        row = row.at[:, 0].set(m)
+        occupied = m > 0
+        com = row[:, 1:4] / jnp.where(occupied, m, 1.0)[:, None]
+        cs, ce = decode_ranges(row, False)  # refined tables are narrow-only
+
+        covered = occupied & (cs >= wstart) & (ce <= wend)
+        inc = covered.astype(jnp.int32)
+        delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
+        delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
+
+        d = jnp.maximum(
+            jnp.abs(com[:, None, :] - gc[None, :, :]) - gh[None, :, :], 0.0
+        )
+        rmin2 = jnp.min(jnp.sum(d * d, axis=-1), axis=-1)
+        accept = occupied & ~covered & (
+            cell_w2[L + r] < (cfg.accept_margin * theta2) * rmin2
+        )
+        expand = occupied & ~covered & ~accept
+
+        if r < R:
+            rbase = jnp.where(rvalid, tree.refine_child_slot[r - 1][rids], -1)
+            descend = expand & (rbase >= 0)
+            over_r = descend & (jnp.cumsum(descend) > rf_parent_cap)
+            descend = descend & ~over_r
+            expand = expand & ~descend
+
+        # refined-near: explicit ranges under their own cumulative budgets
+        cnt = jnp.where(expand, ce - cs, 0)
+        inc_n = (
+            expand
+            & (rn_pcnt + jnp.cumsum(cnt) <= cfg.refine_near_particle_cap)
+            & (rn_off + jnp.cumsum(expand) <= RC)
+        )
+        overflowed = expand & ~inc_n
+        n_fallback = n_fallback + jnp.sum(overflowed).astype(jnp.int32)
+        slot = rn_off + jnp.cumsum(inc_n) - 1
+        keep = inc_n & (slot < RC)
+        write = jnp.where(keep, slot, RC)
+        rnear_cs = rnear_cs.at[write].set(cs)
+        rnear_ce = rnear_ce.at[write].set(ce)
+        rn_off = jnp.minimum(rn_off + jnp.sum(inc_n), RC).astype(jnp.int32)
+        rn_pcnt = rn_pcnt + jnp.sum(jnp.where(inc_n, cnt, 0)).astype(jnp.int32)
+
+        # fallback rows: _fb_eval's self-exclusion is the cs/ce particle-
+        # range containment (narrow mode); slots 6/7 carry -1/0 — refined
+        # rows have no (level, cell id) address (fb_quad/wide are gated)
+        neg = jnp.full((rids.shape[0],), -1.0, ftype)
+        zero = jnp.zeros((rids.shape[0],), ftype)
+        fbrow = row.at[:, 6].set(neg).at[:, 7].set(zero)
+        fb, fb_off, fb_drop = _push_rows(fb, fb_off, fbrow, overflowed,
+                                         cfg.fb_cap)
+        fb_spill = fb_spill + jnp.sum(fb_drop).astype(jnp.int32)
+
+        # accepted refined cells (+ fb spill) ride the multipole slab as
+        # level -1 rows: monopole exact, quadrupole zeroed (_quad_slab okq)
+        mono_mask = accept | fb_drop
+        mrows = jnp.stack(
+            [com[:, 0], com[:, 1], com[:, 2], m, neg, neg, zero, neg],
+            axis=1,
+        )
+        mono, mono_off, mono_drop = _push_rows(mono, mono_off, mrows,
+                                               mono_mask, cfg.accept_cap)
+        a_dropped = a_dropped + jnp.sum(mono_drop).astype(jnp.int32)
+
+        if r < R:
+            rb, rbv, _ = _compact(rbase, descend, rf_parent_cap)
+            rids = (
+                rb[:, None] * branch + jnp.arange(branch, dtype=jnp.int32)
+            ).reshape(rf_parent_cap * branch)
+            rvalid = jnp.repeat(rbv, branch)
+
+    rnear = jnp.stack([rnear_cs[:RC], rnear_ce[:RC]], axis=1)  # [RC, 2]
+    rnear_valid = jnp.arange(RC, dtype=jnp.int32) < rn_off
 
     # residual near field stays as CELL ids here; the caller expands them
     # to particle-id lists AFTER the chunked walk with flat index
@@ -989,11 +1187,12 @@ def _group_collect(
         acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
                           **fbk)
 
-    stats = (a_dropped, f_fallback, n_fallback, fb_spill)
+    stats = (a_dropped, f_fallback, n_fallback, fb_spill, rn_pcnt)
     # the fb slab rides along so callers can cache it as walk topology
     # (traverse_tree(return_topo=True) -> traverse_tree_cached)
     return (mono[: cfg.accept_cap], near_ids, near_valid, far_ids, far_valid,
-            wmask, wstart, center, acc_fb, fb[: cfg.fb_cap], stats)
+            wmask, wstart, center, acc_fb, fb[: cfg.fb_cap], rnear,
+            rnear_valid, stats)
 
 
 def _expand_ranges(leaf_table, cell_ids, cell_valid, cap, wide=False):
@@ -1006,9 +1205,16 @@ def _expand_ranges(leaf_table, cell_ids, cell_valid, cap, wide=False):
 
     cell_ids [G, C], cell_valid [G, C] ->
     (pidx [G, cap], pvalid [G, cap], total [G])."""
-    G, C = cell_ids.shape
     nrow = leaf_table[cell_ids]  # shared-table row gather (fast path)
     nstart, nend = decode_ranges(nrow, wide)
+    return _expand_from_ranges(nstart, nend, cell_valid, cap)
+
+
+def _expand_from_ranges(nstart, nend, cell_valid, cap):
+    """_expand_ranges' core on explicit per-cell sorted ranges — the
+    refined-near list carries (start, end) directly (slot-indexed refined
+    tables have no dense cell-id table to gather from)."""
+    G, C = nstart.shape
     counts = jnp.where(cell_valid, nend - nstart, 0).astype(jnp.int32)
     offs = jnp.cumsum(counts, axis=1)
     total = offs[:, -1]
@@ -1623,10 +1829,19 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     window = min(cfg.window, n_tot)
     gidx = jnp.arange(n_tot, dtype=jnp.int32)
 
-    w = bounds.width
-    cell_w2 = tuple(
-        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
-    )
+    cell_w2 = cfg.cell_w2s(bounds.width)
+    if cfg.refine_levels and tree.refine_tables is None:
+        raise ValueError(
+            "cfg.refine_levels > 0 but the tree was built without "
+            "refinement (pass refine_levels/refine_cap/refine_threshold "
+            "to build_octree)"
+        )
+    if cfg.refine_levels and return_topo:
+        raise ValueError(
+            "walk-topology caching (walk_every > 1 / bh-lazy) does not "
+            "support refine_levels: refined slab rows have no "
+            "(level, cell id) address to re-gather by"
+        )
 
     collect = partial(
         _group_collect, tree, n_tot, cell_w2, theta2, g, g_soft, cfg, window,
@@ -1658,7 +1873,7 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, acc_fb,
-     fbs, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     fbs, rnear, rnear_valid, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
     G_my = my_chunks * CG
     W = window
     P = cfg.near_particle_cap
@@ -1667,7 +1882,7 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, rntot = (s.reshape(-1) for s in stats_t)
 
     # near cells -> flat particle lists, all groups at once (flat gathers)
     pidx, pvalid, ntot = _expand_ranges(
@@ -1676,6 +1891,16 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         near_valid.reshape(G_my, cfg.near_cell_cap),
         P,
     )
+    if cfg.refine_levels:
+        # refined-near ranges join the same exact pair slab
+        RC = cfg.refine_near_cell_cap
+        rnear = rnear.reshape(G_my, RC, 2)
+        pidx_r, pvalid_r, _rtot = _expand_from_ranges(
+            rnear[..., 0], rnear[..., 1], rnear_valid.reshape(G_my, RC),
+            cfg.refine_near_particle_cap,
+        )
+        pidx = jnp.concatenate([pidx, pidx_r], axis=1)
+        pvalid = jnp.concatenate([pvalid, pvalid_r], axis=1)
 
     tgt8 = cgp8.reshape(G_my, B, 8)
     gstart = cgi.reshape(G_my, B)[:, 0]
@@ -1729,6 +1954,12 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         "window_cov": jnp.mean(wmask.astype(dtype)),
         "slab_fill": slab_fill,
     }
+    if cfg.refine_levels:
+        # refined-near particles actually routed to the exact pair slab,
+        # and flagged cells the BUILD could not materialize (refine_cap
+        # full — those kept the unrefined near/fallback path)
+        stats["refine_near_totals"] = rntot.reshape(-1)
+        stats["refine_build_dropped"] = tree.refine_stats[1]
     if return_topo:
         if n_shards > 1:
             raise ValueError("return_topo is a single-chip feature")
@@ -1762,7 +1993,10 @@ def bh_accel(pos, mass, bounds, theta2, g, g_soft, cfg: BHConfig = BHConfig()):
     b0 = bounds.centered()
     tree = build_octree(pos_c, mass, b0, cfg.max_level, dim=cfg.dim,
                         quad=cfg.multipole == "quad",
-                        quad_leaf=cfg.quad_leaf)
+                        quad_leaf=cfg.quad_leaf,
+                        refine_levels=cfg.refine_levels,
+                        refine_cap=cfg.refine_cap,
+                        refine_threshold=cfg.refine_threshold_resolved)
     return traverse_tree(tree, b0, theta2, g, g_soft, cfg, pos.shape[0])
 
 

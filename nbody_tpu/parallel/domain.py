@@ -277,6 +277,12 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     bounds = bounds.centered()
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
+    if cfg.refine_levels:
+        raise ValueError(
+            "refine_levels is single-chip only: the domain walk's leaf-"
+            "level locality split (local vs far request/reply) has no "
+            "refined-cell route yet"
+        )
     wide = wide_ranges(n_tot, pos_loc.dtype)
     if wide and not cfg.wide:
         cfg = dataclasses.replace(cfg, wide=True)
@@ -317,10 +323,7 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
                              quad=cfg.multipole == "quad",
                              quad_leaf=cfg.quad_leaf)
 
-    w = bounds.width
-    cell_w2 = tuple(
-        (w / (1 << l)) * (w / (1 << l)) for l in range(cfg.max_level + 1)
-    )
+    cell_w2 = cfg.cell_w2s(bounds.width)
 
     gidx_loc = my_start + jnp.arange(n_loc, dtype=jnp.int32)
     # wide: target idx column retired (-2: never equals the source rows'
@@ -354,7 +357,8 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         return vm_collect(cp8[..., :3], cp8[..., 3], cidx, ccode)
 
     (mono, near_ids, near_valid, far_ids, far_valid, wmask, wstart, center,
-     acc_fb, _fbs, stats_t) = jax.lax.map(chunk_body, (ct8, ci, cc))
+     acc_fb, _fbs, _rnear, _rnv, stats_t) = jax.lax.map(
+         chunk_body, (ct8, ci, cc))
     P = cfg.near_particle_cap
     Pf = cfg.far_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)
@@ -362,7 +366,7 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, _rntot = (s.reshape(-1) for s in stats_t)
 
     # near/far cells -> flat particle lists post-walk (see _expand_ranges)
     leaf_table = tree.level_table[cfg.max_level]

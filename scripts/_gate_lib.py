@@ -122,7 +122,8 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None,
                        "window_pad": cfg.window_pad,
                        "near_particle_cap": cfg.near_particle_cap,
                        "block_dual": cfg.block_dual,
-                       "multipole": cfg.multipole},
+                       "multipole": cfg.multipole,
+                       "refine_levels": cfg.refine_levels},
         }
         if sample_idx is not None:
             rec["sampled"] = int(len(sample_idx))

@@ -72,6 +72,23 @@ CONFIGS = [
     # the leaf-resolution error) was the remaining tail.
     ("dense", dict(max_level=8, near_particle_cap=2048, frontier_cap=4096,
                    accept_cap=4096, near_cell_cap=4096, fb_cap=512)),
+    # Round-3 session 10: the genuinely density-ADAPTIVE build the static
+    # rows motivated (BHConfig.refine_levels — per-octant levels below the
+    # leaf grid for cells above the near cap).  Depth reaches 9-10 on the
+    # core at the DEFAULT global grid; the question is whether the refined
+    # near budget closes the envelope gap the dense stack could not
+    # (p99_typ 0.147 vs the 5e-2 disc envelope) and at what step cost.
+    # depth is bounded at 10 total (3D Morton int32), so the ml7 preset
+    # allows at most refine_levels=3; a coarser global grid buys deeper
+    # adaptive range (ml6+r4 = same total depth, more cells on the
+    # adaptive route)
+    ("refine3", dict(refine_levels=3)),
+    ("refine3_rnp16k", dict(refine_levels=3,
+                            refine_near_particle_cap=16384)),
+    ("ml6_refine4", dict(max_level=6, refine_levels=4)),
+    ("dense_r2", dict(max_level=8, near_particle_cap=2048,
+                      frontier_cap=4096, accept_cap=4096,
+                      near_cell_cap=4096, fb_cap=512, refine_levels=2)),
 ]
 WIDTHS = [("w40", 40.0), ("w10", 10.0)]
 
@@ -160,7 +177,8 @@ def main():
                         "window_pad": rcfg.window_pad,
                         "near_particle_cap": rcfg.near_particle_cap,
                         "block_dual": rcfg.block_dual,
-                        "multipole": rcfg.multipole},
+                        "multipole": rcfg.multipole,
+                        "refine_levels": rcfg.refine_levels},
             }
             os.makedirs(os.path.dirname(OUT), exist_ok=True)
             with open(OUT, "a") as f:
