@@ -86,9 +86,14 @@ CONFIGS = [
     ("refine3_rnp16k", dict(refine_levels=3,
                             refine_near_particle_cap=16384)),
     ("ml6_refine4", dict(max_level=6, refine_levels=4)),
+    # threshold pinned at 512: the auto resolution (= near_particle_cap =
+    # 2048 here) would flag nothing at w40/ml8, where core cells hold ~930
+    # particles — the dense stack's 60k+ near-overflow cells come from MANY
+    # sub-threshold cells sharing one group budget, not single giant cells
     ("dense_r2", dict(max_level=8, near_particle_cap=2048,
                       frontier_cap=4096, accept_cap=4096,
-                      near_cell_cap=4096, fb_cap=512, refine_levels=2)),
+                      near_cell_cap=4096, fb_cap=512, refine_levels=2,
+                      refine_threshold=512)),
 ]
 WIDTHS = [("w40", 40.0), ("w10", 10.0)]
 
@@ -141,6 +146,10 @@ def main():
                      extra_fields=lambda st: {
                          "accept_dropped": int(st["accept_dropped"]),
                          "frontier_fallback": int(st["frontier_fallback"]),
+                         "refine_near_total": int(np.sum(np.asarray(
+                             st.get("refine_near_totals", 0)))),
+                         "refine_build_dropped": int(np.asarray(
+                             st.get("refine_build_dropped", 0))),
                          "scene": "plummer", "width": width,
                      })
 
