@@ -94,6 +94,31 @@ CONFIGS = [
                       frontier_cap=4096, accept_cap=4096,
                       near_cell_cap=4096, fb_cap=512, refine_levels=2,
                       refine_threshold=512)),
+    # round 2 of the adaptive sweep: dense_r2 is depth-capped (ml8+2 = the
+    # Morton depth-10 limit) and its remaining error is budget pressure
+    # (nf 58k / fs 27k / ad 3k at w40) — so refine DEEP from a coarser
+    # grid and spend the budget headroom the shallow grid frees: fewer
+    # leaf cells -> smaller frontier pressure, bigger fb/accept caps kill
+    # the spill/drop degradation, wider refined budgets absorb the core.
+    ("deep_l7r3", dict(max_level=7, refine_levels=3, refine_threshold=512,
+                       near_particle_cap=2048, frontier_cap=8192,
+                       accept_cap=8192, near_cell_cap=4096, fb_cap=2048,
+                       refine_frontier=1024, refine_near_cell_cap=4096,
+                       refine_near_particle_cap=16384)),
+    # threshold 128: ALSO refine the core-shoulder cells (100-500
+    # particles at w40) that flood the near budget as unrefined ranges
+    ("deep_l7r3_t128", dict(max_level=7, refine_levels=3,
+                            refine_threshold=128,
+                            near_particle_cap=2048, frontier_cap=8192,
+                            accept_cap=8192, near_cell_cap=4096,
+                            fb_cap=2048, refine_frontier=1024,
+                            refine_near_cell_cap=4096,
+                            refine_near_particle_cap=16384)),
+    ("deep_l6r4", dict(max_level=6, refine_levels=4, refine_threshold=512,
+                       near_particle_cap=2048, frontier_cap=8192,
+                       accept_cap=8192, near_cell_cap=4096, fb_cap=2048,
+                       refine_frontier=1024, refine_near_cell_cap=4096,
+                       refine_near_particle_cap=16384)),
 ]
 WIDTHS = [("w40", 40.0), ("w10", 10.0)]
 
