@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "Plummer sphere — 7.6x better p99 force error there at "
                    "~0.47x the disc-scene step rate, measured at 1M "
                    "(VALIDATION.md §18); bh engines only")
+    p.add_argument("--adaptive", action="store_true",
+                   help="BH density-ADAPTIVE steep-core profile: three "
+                   "per-octant refined levels below a depth-7 grid for "
+                   "cells over 128 particles, budgets re-tuned "
+                   "(VALIDATION.md §19).  Passes the disc accuracy "
+                   "envelope on a 1M Plummer core (p99 1.7e-2 vs 0.147 "
+                   "for the best static stack) at ~0.25x the disc-scene "
+                   "step rate; single-device bh engines only")
     p.add_argument("--refine", type=int, default=0, metavar="R",
                    help="BH density-adaptive depth: materialize up to R "
                    "extra tree levels below the leaf grid for cells denser "
@@ -128,6 +136,23 @@ def main(argv=None) -> dict:
         from nbody_tpu.ops.traversal import DENSE_OVERRIDES
 
         eng_opts.update(DENSE_OVERRIDES)
+    if args.adaptive:
+        if not args.engine.startswith("bh") or args.engine == "bh-lazy":
+            raise SystemExit("--adaptive applies to bh/bh-deep only")
+        if args.devices and args.devices > 1:
+            raise SystemExit("--adaptive is single-device only")
+        if args.walk_every > 1:
+            raise SystemExit("--adaptive and --walk-every are exclusive "
+                             "(refined rows have no cached-topology route)")
+        if args.dense:
+            raise SystemExit("--adaptive and --dense are exclusive "
+                             "steep-core profiles (adaptive supersedes "
+                             "dense where a single chip suffices)")
+        # explicit fields (not profile=) for the same reason as --dense;
+        # a following --refine R still overrides the refined depth
+        from nbody_tpu.ops.traversal import ADAPTIVE_OVERRIDES
+
+        eng_opts.update(ADAPTIVE_OVERRIDES)
     if args.refine:
         if not args.engine.startswith("bh") or args.engine == "bh-lazy":
             raise SystemExit("--refine applies to bh/bh-deep only")

@@ -32,9 +32,9 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
     # benchmark-tuned cap/pad cuts) or 'accurate' (round-2 budgets — see
     # BHConfig.auto_for and VALIDATION.md §10 for the measured trade)
     profile = options.pop("profile", "fast")
-    if profile not in ("fast", "accurate", "dense"):
-        raise ValueError(f"profile must be 'fast', 'accurate' or 'dense', "
-                         f"got {profile!r}")
+    if profile not in ("fast", "accurate", "dense", "adaptive"):
+        raise ValueError(f"profile must be 'fast', 'accurate', 'dense' or "
+                         f"'adaptive', got {profile!r}")
     if profile == "accurate":
         options.setdefault("window_pad", 2048)
     elif profile == "dense":
@@ -44,6 +44,13 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
         from nbody_tpu.ops.traversal import DENSE_OVERRIDES
 
         for k, v in DENSE_OVERRIDES.items():
+            options.setdefault(k, v)
+    elif profile == "adaptive":
+        # density-adaptive steep-core preset (VALIDATION.md §19); same
+        # explicit-override spelling, caller-supplied fields win
+        from nbody_tpu.ops.traversal import ADAPTIVE_OVERRIDES
+
+        for k, v in ADAPTIVE_OVERRIDES.items():
             options.setdefault(k, v)
     # temporal walk reuse (engine option, not a BHConfig field): run the
     # collect walk every K steps, evaluating the frozen topology at fresh

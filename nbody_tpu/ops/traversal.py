@@ -67,6 +67,25 @@ DENSE_OVERRIDES = dict(max_level=8, near_particle_cap=2048,
                        frontier_cap=4096, accept_cap=4096,
                        near_cell_cap=4096, fb_cap=512)
 
+# profile='adaptive' field stack (auto_for / make_bh_engine / --adaptive):
+# the measured density-ADAPTIVE steep-core configuration from the 1M
+# Plummer deep-refine probe (VALIDATION.md §19, deep_l7r3_t128 rows):
+# three per-octant refined levels below a depth-7 grid for every cell
+# over 128 particles, with the budget headroom the coarser grid frees
+# spent on the fb/accept caps round 1 measured as the residual error
+# carriers (accept drops 3.1k -> 0, fb spills 27k -> 3.6k).  p99_typ
+# 1.7e-2 at width 40 — 3x INSIDE the disc accuracy envelope that every
+# static stack missed (best 0.147) — at ~1.55 steps/s @1M (0.25x the
+# disc-scene rate).  Tight boxes whose leaf cells already hold < 128
+# particles should drop to max_level=6 / refine_levels=4 (measured
+# 4.3e-2 at width 10 vs 5.2e-2 for this stack).  Single-chip only:
+# refine_levels is gated off the sharded walks.
+ADAPTIVE_OVERRIDES = dict(
+    max_level=7, refine_levels=3, refine_threshold=128,
+    near_particle_cap=2048, frontier_cap=8192, accept_cap=8192,
+    near_cell_cap=4096, fb_cap=2048, refine_frontier=1024,
+    refine_near_cell_cap=4096, refine_near_particle_cap=16384)
+
 
 @dataclass(frozen=True)
 class BHConfig:
@@ -366,9 +385,9 @@ class BHConfig:
         6.13-6.21 steps/s at 1.34e-3 energy drift/200 steps, 'accurate'
         = 5.66 at 3.73e-4; full round-2 budgets (raise
         near_particle_cap manually) = 4.28 at 2.78e-4."""
-        if profile not in ("fast", "accurate", "dense"):
-            raise ValueError(f"profile must be 'fast', 'accurate' or "
-                             f"'dense', got {profile!r}")
+        if profile not in ("fast", "accurate", "dense", "adaptive"):
+            raise ValueError(f"profile must be 'fast', 'accurate', "
+                             f"'dense' or 'adaptive', got {profile!r}")
         if n <= 32768:
             base = dict(group_size=2048, subgroups=64)
         elif n <= 262144:
@@ -461,6 +480,12 @@ class BHConfig:
             # static cap take self-excluded multipoles for their own
             # neighborhood, which only density-ADAPTIVE depth removes.
             base.update(DENSE_OVERRIDES)
+        if profile == "adaptive":
+            # Density-adaptive steep-core preset (VALIDATION.md §19): the
+            # per-octant refined build resolves the 1e5:1 Plummer core the
+            # static 'dense' stack could not (p99_typ 0.147 -> 0.017 at
+            # width 40), at ~0.87x its step rate.  Single-chip only.
+            base.update(ADAPTIVE_OVERRIDES)
         if profile == "accurate" and n > 32768:
             # restore ONLY the window pad: the drift-attribution split
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut

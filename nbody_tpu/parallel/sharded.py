@@ -329,6 +329,17 @@ class ShardedSimulation:
             # used to silently drop block-dual + the tuned cap/pad cuts on
             # every multi-chip run (~35% of the single-chip step rate at
             # 1M/chip, dual_r3.jsonl).
+            if profile == "adaptive" or opts.get("refine_levels"):
+                # the refined side tables are built by the single-chip
+                # builder and the sharded walks have no refined-table
+                # route (domain rows are wide-format; replicated shards
+                # would need a replicated refined build) — fail loudly
+                # instead of silently dropping the accuracy the profile
+                # exists for (VALIDATION.md §19)
+                raise ValueError(
+                    "density-adaptive refinement (profile='adaptive' / "
+                    "refine_levels) is single-chip only"
+                )
             auto_group = not any(
                 k in opts for k in ("group_size", "subgroups", "chunk_groups")
             )

@@ -255,3 +255,12 @@ def test_sharded_dense_profile_and_strategy_validation():
     with pytest.raises(ValueError, match="requires engine"):
         ShardedSimulation(pos, vel, mass, engine="brute", strategy="bh",
                           n_devices=8, **common)
+    # density-adaptive refinement is single-chip only: the sharded walks
+    # have no refined-table route, so both spellings must fail loudly
+    # instead of silently dropping the accuracy the profile exists for
+    with pytest.raises(ValueError, match="single-chip"):
+        ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                          engine_options=dict(profile="adaptive"), **common)
+    with pytest.raises(ValueError, match="single-chip"):
+        ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                          engine_options=dict(refine_levels=2), **common)

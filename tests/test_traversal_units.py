@@ -278,3 +278,90 @@ def test_cli_dense_flag_rejects_non_bh():
     with pytest.raises(SystemExit):
         main(["-n", "256", "--steps", "1", "--engine", "brute",
               "--dense", "--cpu"])
+
+
+def test_adaptive_profile_presets():
+    """profile='adaptive' applies the measured density-adaptive steep-core
+    stack (VALIDATION.md §19: depth-7 grid + 3 refined levels at threshold
+    128 + the re-tuned budget caps) on top of the size tier; explicit
+    caller fields beat the profile; both auto_for and the engine spelling
+    resolve the same constant."""
+    import pytest
+
+    from nbody_tpu.engines import get_engine
+    from nbody_tpu.ops.traversal import ADAPTIVE_OVERRIDES, BHConfig
+
+    fast = BHConfig.auto_for(1 << 20)
+    ad = BHConfig.auto_for(1 << 20, profile="adaptive")
+    for k, v in ADAPTIVE_OVERRIDES.items():
+        assert getattr(ad, k) == v, k
+    # fields the probe did not move stay at the tier preset
+    assert ad.window_pad == fast.window_pad
+    assert ad.group_size == fast.group_size
+    assert ad.multipole == fast.multipole
+    assert (1 << 20) % (ad.group_size * ad.chunk_groups) == 0
+    # depth budget sits exactly at the 3D Morton limit
+    assert ad.max_level + ad.refine_levels == 10
+    # explicit override beats the profile (how cheap CPU tests shrink it)
+    over = BHConfig.auto_for(1 << 20, profile="adaptive", max_level=4,
+                             refine_levels=2)
+    assert over.max_level == 4 and over.refine_levels == 2
+    assert over.fb_cap == ADAPTIVE_OVERRIDES["fb_cap"]
+    # engine spelling accepts the profile (field resolution is covered
+    # end-to-end by test_adaptive_profile_functional) and rejects typos
+    get_engine("bh", profile="adaptive", max_level=4, refine_levels=2)
+    with pytest.raises(ValueError):
+        get_engine("bh", profile="hyperadaptive")
+    with pytest.raises(ValueError):
+        BHConfig.auto_for(1 << 20, profile="hyperadaptive")
+
+
+def test_adaptive_profile_functional():
+    """The adaptive profile drives the engine end-to-end on the scene
+    family it exists for (grid + refined depth shrunk for CPU) and beats
+    the equivalent static config on the typ-normalized tail — refinement
+    must actually fire (threshold forced low enough for the small N)."""
+    import dataclasses
+
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.engines import get_engine
+    from nbody_tpu.engines.brute_force import force_tiled
+    from nbody_tpu.scenes import plummer_sphere
+
+    n = 2048
+    pos, vel, mass = plummer_sphere(n, scale=1.0, seed=3)
+    state = ParticleState.create(pos, vel, mass, capacity=n,
+                                 dtype=jnp.float32)
+    params = SimParams.create(dt=1e-3, g_soft=0.02, theta2=1.0,
+                              bounds_width=20.0, dtype=jnp.float32)
+    alive = np.asarray(state.alive) & np.asarray(
+        params.bounds.contains(state.pos))
+    state = dataclasses.replace(state, alive=jnp.asarray(alive))
+
+    eng = get_engine("bh", profile="adaptive", max_level=4,
+                     refine_levels=2, refine_threshold=32)
+    m = state.effective_mass()
+    acc = np.asarray(eng.force(state.pos, m, params))
+    ref = np.asarray(force_tiled(state.pos, m, params))
+    a, r = acc[alive], ref[alive]
+    typ = np.mean(np.linalg.norm(r, axis=1))
+    err = np.linalg.norm(a - r, axis=1) / typ
+    assert np.all(np.isfinite(err))
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.percentile(err, 99) < 5e-2, np.percentile(err, 99)
+
+
+def test_cli_adaptive_flag_guards():
+    import pytest
+
+    from nbody_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["-n", "256", "--steps", "1", "--engine", "brute",
+              "--adaptive", "--cpu"])
+    with pytest.raises(SystemExit):
+        main(["-n", "256", "--steps", "1", "--engine", "bh",
+              "--adaptive", "--dense", "--cpu"])
+    with pytest.raises(SystemExit):
+        main(["-n", "256", "--steps", "1", "--engine", "bh",
+              "--adaptive", "--walk-every", "2", "--cpu"])
