@@ -614,7 +614,9 @@ def build_octree(pos, mass, bounds, max_level: int = 7,
 def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
                          max_level: int, axis: str,
                          dim: int = 3, quad: bool = False,
-                         quad_leaf: bool = True) -> LinearOctree:
+                         quad_leaf: bool = True, refine_levels: int = 0,
+                         refine_cap: int = 8192,
+                         refine_threshold: int = 512) -> LinearOctree:
     """Distributed octree build for use INSIDE ``shard_map``: the heavy
     per-particle stages (Morton encoding, the sorted-order gather, the leaf
     segment-sums) run on each chip's 1/n_dev slice; collectives assemble the
@@ -633,6 +635,17 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
     bit-identical in the dense regime (replicated prefix scan) and differ
     only by partial-sum association order in the sparse regime (per-chip
     segment-sums + psum).
+
+    ``refine_levels > 0`` additionally materializes the density-adaptive
+    refined side tables (_build_refined) exactly as ``build_octree`` does:
+    the shards are Morton-encoded at DEEP depth, so ``code_s`` (the deep
+    codes' leaf-level prefixes) and every coarse consumer are unchanged,
+    and the refined build itself runs replicated on the already-gathered
+    sorted arrays — deterministic, hence bit-identical on every chip (the
+    same cost class as the replicated leaf prefix scan below).  This is
+    what lets the replicated sharded strategy carry profile='adaptive'
+    (VALIDATION.md §19); the O(N/chips) domain path still has no
+    refined-cell route (parallel/domain.py).
     """
     n_loc = pos_loc.shape[0]
     n_tot = pos_all.shape[0]
@@ -642,19 +655,33 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
     gb = grid_bounds(bounds, max_level)
     my = jax.lax.axis_index(axis)
 
+    L_deep = max_level + refine_levels
+    assert L_deep <= (morton.MAX_LEVEL_3D if dim == 3 else
+                      morton.MAX_LEVEL_2D), (
+        f"max_level + refine_levels = {L_deep} exceeds the "
+        f"{dim}D Morton code depth limit"
+    )
+
     # 1. Morton-encode the LOCAL shard, then share the codes (int32 — the
-    #    cheapest per-step collective in the build).
-    codes_loc = morton.cell_codes(pos_loc[:, :dim], gb, max_level)
-    codes_loc = jnp.where(mass_loc > 0, codes_loc, jnp.int32(n_leaf))
+    #    cheapest per-step collective in the build).  With refinement the
+    #    codes are DEEP (leaf + refine_levels, same grid origin) so refined
+    #    cells are contiguous sorted ranges; leaf codes are their prefixes.
+    codes_loc = morton.cell_codes(pos_loc[:, :dim], gb, L_deep)
+    codes_loc = jnp.where(mass_loc > 0, codes_loc,
+                          jnp.int32(branch ** L_deep))
     codes = jax.lax.all_gather(codes_loc, axis, tiled=True)
 
     # 2. Global sort (replicated — XLA's sort is already parallel within a
     #    chip and N int32 keys are cheap; a distributed merge sort would be
     #    collective-bound here).  One stable lax.sort yields codes + order,
     #    identical to the single-chip ``jnp.argsort`` permutation.
-    code_s, order = jax.lax.sort(
+    deep_code_s, order = jax.lax.sort(
         (codes, jnp.arange(n_tot, dtype=jnp.int32)), num_keys=1
     )
+    # leaf-prefix codes; the identity when refine_levels == 0 (preserves
+    # the tuned unrefined program bit-for-bit)
+    code_s = (deep_code_s >> (dim * refine_levels) if refine_levels
+              else deep_code_s)
 
     if dim == 2:
         pos_all = jnp.concatenate(
@@ -713,6 +740,19 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
         all_quad = _quad_pyramid(jax.lax.psum(q, axis), top, branch,
                                  pos_all.dtype)
 
+    refine = {}
+    if refine_levels > 0:
+        # replicated work on replicated inputs (pos_s/mass_s/deep codes are
+        # all-gathered above; leaf_counts is psum'd) — every chip builds
+        # bit-identical tables, matching build_octree exactly
+        tables, slot_leaf, child_maps, rstats = _build_refined(
+            pos_s, mass_s, deep_code_s, leaf_counts.astype(jnp.int32),
+            max_level, refine_levels, refine_cap, refine_threshold, branch,
+            dim, pos_all.dtype,
+        )
+        refine = dict(refine_tables=tables, refine_slot_leaf=slot_leaf,
+                      refine_child_slot=child_maps, refine_stats=rstats)
+
     return LinearOctree(
         pos_s=pos_s,
         mass_s=mass_s,
@@ -723,6 +763,7 @@ def build_octree_sharded(pos_loc, mass_loc, pos_all, mass_all, bounds,
         level_mpos=level_mpos,
         level_table=level_table,
         all_quad=all_quad,
+        **refine,
     )
 
 

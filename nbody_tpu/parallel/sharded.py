@@ -149,6 +149,9 @@ def make_sharded_step(mesh: Mesh, integrator="leapfrog", strategy="allgather",
                 pos_c, mass_eff, pos_all, mass_all, b0,
                 cfg.max_level, axis, dim=cfg.dim,
                 quad=cfg.multipole == "quad", quad_leaf=cfg.quad_leaf,
+                refine_levels=cfg.refine_levels,
+                refine_cap=cfg.refine_cap,
+                refine_threshold=cfg.refine_threshold_resolved,
             )
             n_chunks = n_tot // (cfg.group_size * cfg.chunk_groups)
             first = (my * (n_chunks // n_dev)).astype(jnp.int32)
