@@ -12,7 +12,7 @@ test-all:
 # known-good perf floors + a dense-force cross-check.  ONE TPU process at
 # a time (see .claude/skills/verify/SKILL.md).
 smoke-tpu:
-	timeout 600 python scripts/smoke_tpu.py
+	timeout 1200 python scripts/smoke_tpu.py
 
 bench:
 	python bench.py

@@ -32,6 +32,15 @@ RUST_BF_64K_STEPS_PER_S = 0.076  # measured: native/oracle.cpp serial brute
 # denominator — it answers "how much single-chip headroom remains" (VERDICT
 # round-1 #10), not "is the VPU saturated".
 V5E_PEAK_FLOPS = 197e12
+# The RIGHT roofline for this op (VALIDATION.md §11): the v5e VPU is an
+# 8x128-lane, 4-ALU vector unit at ~0.94 GHz ≈ 3.8 Tops/s f32; the MXU is
+# unusable here (K=3/N=8 contractions pad to 128 columns x 6 passes,
+# measured 30x worse).  vpu_roofline_frac below can legitimately EXCEED
+# 1.0: pairs are counted one-directional (N² per step) while the shipped
+# Newton-3 symmetric kernel evaluates each unordered pair once and
+# accumulates both directions — beating the one-direction VPU roofline is
+# exactly the sym kernel's win (§11 table: 1.28-1.33x).
+V5E_VPU_F32_OPS = 3.8e12
 
 
 def _axon_relay_dead() -> bool:
@@ -114,6 +123,9 @@ def main():
         "pairs_per_s": f"{pairs_per_s:.3e}",
         "achieved_tflops": round(achieved_flops / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(achieved_flops / V5E_PEAK_FLOPS, 4),
+        # the honest denominator (see V5E_VPU_F32_OPS): >1.0 = the Newton-3
+        # symmetric kernel beats the one-direction VPU roofline
+        "vpu_roofline_frac": round(achieved_flops / V5E_VPU_F32_OPS, 3),
         "n": N,
         "engine": engine.name,
         "backend": jax.default_backend(),

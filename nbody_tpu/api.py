@@ -82,7 +82,54 @@ class Simulation:
         energy-drift gap to f64 at <1% step cost (VALIDATION.md §8)."""
         if engine == "auto":
             engine = resolve_auto_engine(len(mass))
+            if engine == "bh" and not (engine_options or {}).get("profile"):
+                # scene auto-detection (VERDICT r3 #4): the fast defaults
+                # are tuned on the near-uniform disc; a steep-core scene
+                # (1M Plummer: 22x over the accuracy envelope) is detected
+                # from the build's leaf-occupancy contrast and routed to
+                # the density-adaptive profile.  Explicit profile/engine
+                # choices are always respected.
+                from nbody_tpu.ops.traversal import (
+                    detect_scene_profile, resolve_adaptive_overrides,
+                    scene_occupancy)
+
+                occ = scene_occupancy(pos, bounds_center, bounds_width)
+                if detect_scene_profile(
+                        pos, bounds_center, bounds_width,
+                        occupancy=occ) == "adaptive":
+                    ov = resolve_adaptive_overrides(
+                        pos, bounds_center, bounds_width, occupancy=occ)
+                    engine_options = {**(engine_options or {}),
+                                      "profile": "adaptive", **ov}
+                    print(
+                        "[nbody-tpu] engine='auto': steep-core scene "
+                        f"detected (occupancy contrast {occ['contrast']:.0f}"
+                        f" > {40:.0f}) -> profile='adaptive' "
+                        f"(max_level={ov['max_level']}, refine_levels="
+                        f"{ov['refine_levels']}); pass engine='bh' or "
+                        "profile='fast' to override"
+                    )
+        if (engine in ("bh", "bh-deep")
+                and (engine_options or {}).get("profile") == "adaptive"
+                and not any(k in engine_options
+                            for k in ("max_level", "refine_levels"))):
+            # two measured adaptive regimes (VERDICT r3 #3): pick the deep
+            # vs tight-box stack from this scene's level-7 occupancy
+            # instead of shipping one preset that fails the other regime
+            from nbody_tpu.ops.traversal import resolve_adaptive_overrides
+
+            ov = resolve_adaptive_overrides(pos, bounds_center, bounds_width)
+            engine_options = {**engine_options, **ov}
+            print(
+                "[nbody-tpu] profile='adaptive' resolved to the "
+                + ("deep" if ov["max_level"] == 7 else "tight-box")
+                + f" stack (max_level={ov['max_level']}, refine_levels="
+                f"{ov['refine_levels']}) from the scene's leaf occupancy"
+            )
         self.engine = get_engine(engine, **(engine_options or {}))
+        #: resolved options (after scene detection / adaptive regime
+        #: resolution) — introspection for tests and the vis layer
+        self.engine_options = dict(engine_options or {})
         # pallas engines want tile-friendly capacities (big power-of-two
         # j-tiles); others are happy with the 128-lane minimum
         pad_multiple = 2048 if "pallas" in self.engine.name else 128

@@ -79,20 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
                    "~0.47x the disc-scene step rate, measured at 1M "
                    "(VALIDATION.md §18); bh engines only")
     p.add_argument("--adaptive", action="store_true",
-                   help="BH density-ADAPTIVE steep-core profile: three "
-                   "per-octant refined levels below a depth-7 grid for "
-                   "cells over 128 particles, budgets re-tuned "
-                   "(VALIDATION.md §19).  Passes the disc accuracy "
-                   "envelope on a 1M Plummer core (p99 1.7e-2 vs 0.147 "
-                   "for the best static stack) at ~0.25x the disc-scene "
-                   "step rate; single-device bh engines only")
+                   help="BH density-ADAPTIVE steep-core profile: per-octant "
+                   "refined levels below the leaf grid, with the deep "
+                   "(ml7+R3) vs tight-box (ml6+R4) stack resolved from the "
+                   "scene's leaf occupancy (VALIDATION.md §19).  Passes the "
+                   "disc accuracy envelope on a 1M Plummer core (p99 "
+                   "1.7e-2 vs 0.147 for the best static stack) at ~0.25x "
+                   "the disc-scene step rate; bh engines, single- or "
+                   "multi-device (N < 2^24)")
     p.add_argument("--refine", type=int, default=0, metavar="R",
                    help="BH density-adaptive depth: materialize up to R "
                    "extra tree levels below the leaf grid for cells denser "
                    "than the near-field budget, and descend them in the "
                    "walk (BHConfig.refine_levels).  The per-octant answer "
                    "for steep cores a static grid cannot resolve "
-                   "(VALIDATION.md §18/§19); single-device bh engines only")
+                   "(VALIDATION.md §18/§19); bh engines, single- or "
+                   "multi-device (N < 2^24)")
     p.add_argument("--walk-every", type=int, default=1, metavar="K",
                    help="BH temporal walk reuse: run the tree walk every K "
                    "steps, re-evaluating the frozen traversal topology at "
@@ -139,8 +141,6 @@ def main(argv=None) -> dict:
     if args.adaptive:
         if not args.engine.startswith("bh") or args.engine == "bh-lazy":
             raise SystemExit("--adaptive applies to bh/bh-deep only")
-        if args.devices and args.devices > 1:
-            raise SystemExit("--adaptive is single-device only")
         if args.walk_every > 1:
             raise SystemExit("--adaptive and --walk-every are exclusive "
                              "(refined rows have no cached-topology route)")
@@ -149,15 +149,22 @@ def main(argv=None) -> dict:
                              "steep-core profiles (adaptive supersedes "
                              "dense where a single chip suffices)")
         # explicit fields (not profile=) for the same reason as --dense;
-        # a following --refine R still overrides the refined depth
-        from nbody_tpu.ops.traversal import ADAPTIVE_OVERRIDES
+        # a following --refine R still overrides the refined depth.
+        # The deep vs tight-box stack is resolved from THIS scene's leaf
+        # occupancy (both pass the 5e-2 envelope in their regime,
+        # plummer_1m.jsonl deep_* gate rows; VERDICT r3 #3)
+        from nbody_tpu.ops.traversal import resolve_adaptive_overrides
 
-        eng_opts.update(ADAPTIVE_OVERRIDES)
+        ov = resolve_adaptive_overrides(pos, (0.0, 0.0, 0.0),
+                                        args.box_width)
+        eng_opts.update(ov)
+        print(f"[nbody-tpu] --adaptive resolved to the "
+              + ("deep" if ov["max_level"] == 7 else "tight-box")
+              + f" stack (max_level={ov['max_level']}, "
+              f"refine_levels={ov['refine_levels']})")
     if args.refine:
         if not args.engine.startswith("bh") or args.engine == "bh-lazy":
             raise SystemExit("--refine applies to bh/bh-deep only")
-        if args.devices and args.devices > 1:
-            raise SystemExit("--refine is single-device only")
         if args.walk_every > 1:
             raise SystemExit("--refine and --walk-every are exclusive "
                              "(refined rows have no cached-topology route)")

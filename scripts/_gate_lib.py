@@ -130,3 +130,76 @@ def run_gate(configs, n, out, ref, state, params, extra_fields=None,
         if extra_fields is not None:
             rec.update(extra_fields(stats))
         append_record(out, rec)
+
+
+def run_drift_gate(configs, n, out, state, params, steps=200,
+                   control_name="control", max_ratio=3.0):
+    """Secular energy-drift ship gate (round 4, VERDICT r3 #6/#7): the
+    round-3 window-pad cut passed every per-step force gate yet carried a
+    10x secular drift regression (rel drift 1.34e-3 vs 3.73e-4 per 200
+    steps @1M, results/comp_drift_1m.jsonl) — correlated whole-cell
+    multipole error integrates even when p99 force error is flat.  Ship
+    criteria must therefore include drift, not force percentiles alone.
+
+    ``configs``: name -> auto_for overrides; the entry named
+    ``control_name`` is the reference stack.  Each candidate's
+    |E_200 - E_0| / |E_0| (EXACT pair potential, f32 state) must stay
+    within ``max_ratio`` x the control's, measured back-to-back in the
+    same session (remote-compile latency drifts across hours — CLAUDE.md).
+    Appends records with the ratio and a pass flag; resume-by-name."""
+    from nbody_tpu.core.energy import total_energy
+    from nbody_tpu.core.stepper import make_run
+    from nbody_tpu.engines import get_engine
+
+    done = load_done(out)
+    todo = {k: v for k, v in configs.items() if k not in done}
+    if not todo:
+        return
+    assert control_name in configs, (
+        f"drift gate needs a {control_name!r} config to ratio against")
+
+    drifts = {}
+    for rec_line in (open(out) if os.path.exists(out) else []):
+        try:
+            d = json.loads(rec_line)
+            drifts[d["name"]] = d["rel_drift"]
+        except Exception:
+            pass
+
+    for name, opts in configs.items():
+        if name in done and name != control_name:
+            continue
+        if name in drifts:
+            continue
+        eng = get_engine("bh", **opts)
+        run = make_run(eng.force)
+        e0 = float(total_energy(state, params, method="exact"))
+        t0 = time.perf_counter()
+        outst = run(state, params, steps, None)
+        float(outst.time)
+        e1 = float(total_energy(outst, params, method="exact"))
+        drifts[name] = abs(e1 - e0) / abs(e0)
+        append_record(out, {
+            "name": name, "n": n, "steps": steps,
+            "rel_drift": drifts[name],
+            "e0": e0, "e1": e1,
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "ts": time.time(),
+        })
+
+    ctrl = drifts[control_name]
+    for name in todo:
+        if name == control_name:
+            continue
+        ratio = drifts[name] / max(ctrl, 1e-30)
+        ok = ratio <= max_ratio
+        append_record(out, {
+            "name": f"{name}_vs_{control_name}",
+            "drift_ratio": round(ratio, 2),
+            "max_ratio": max_ratio,
+            "pass": bool(ok),
+            "ts": time.time(),
+        })
+        if not ok:
+            print(f"DRIFT GATE FAIL: {name} drifts {ratio:.1f}x the "
+                  f"{control_name} stack (> {max_ratio}x)", flush=True)

@@ -76,16 +76,25 @@ from nbody_tpu.scenes import self_gravitating_disc  # noqa: E402
 # tests/test_domain.py.
 LOGN = 23
 FORCE_WIDE = "--force-wide" in sys.argv
+# --adaptive (round 4): build/walk with the density-adaptive refined
+# stack resolved from the scene's occupancy — the VERDICT r3 #2 gate row
+# (the unrefined 8M run's spot p99 0.131 is leaf-resolution error, which
+# only refinement fixes at capacity scale).  --accel-only skips the two
+# fused engine steps (the accel + spot gate is the accuracy claim).
+ADAPTIVE = "--adaptive" in sys.argv
+ACCEL_ONLY = "--accel-only" in sys.argv
 argn = [a for a in sys.argv[1:] if not a.startswith("--")]
 if argn:
     LOGN = int(argn[0])
 N = 1 << LOGN
 NDEV = 8
 SPOT = 1024
-FUSED_STEPS = LOGN <= 23 and not FORCE_WIDE  # fused-step proof ran at 8M
+FUSED_STEPS = (LOGN <= 23 and not FORCE_WIDE and not ACCEL_ONLY)
+                          # fused-step proof ran at 8M
                           # narrow; wide/16M+ runs prove domain_accel only
 OUT = os.path.join(os.path.dirname(__file__), "..", "results",
                    f"domain_{N >> 20}m{'_wide' if FORCE_WIDE else ''}"
+                   f"{'_ada' if ADAPTIVE else ''}"
                    "_virtual.json")
 
 
@@ -112,9 +121,18 @@ def main():
 
     # the production preset for this N, with budgets the 1M tuning showed
     # keep fallbacks modest; far caps sized for octant seams at L=7
-    cfg = BHConfig.auto_for(N)
+    if ADAPTIVE:
+        from nbody_tpu.ops.traversal import resolve_adaptive_overrides
+
+        ov = resolve_adaptive_overrides(np.asarray(state.pos),
+                                        (0.0, 0.0, 0.0), 10.0)
+        print(f"adaptive stack: {ov}", flush=True)
+        cfg = BHConfig.auto_for(N, **ov)
+    else:
+        cfg = BHConfig.auto_for(N)
     print(f"config: group={cfg.group_size} window={cfg.window} "
-          f"L={cfg.max_level} chunks={cfg.chunk_groups}", flush=True)
+          f"L={cfg.max_level} chunks={cfg.chunk_groups} "
+          f"refine={cfg.refine_levels}", flush=True)
 
     shapes = {}
 
@@ -194,7 +212,9 @@ def main():
         "halo": int(min(cfg.window, n_loc)),
         "config": {"group_size": cfg.group_size, "window": cfg.window,
                    "max_level": cfg.max_level,
-                   "multipole": cfg.multipole},
+                   "multipole": cfg.multipole,
+                   "refine_levels": cfg.refine_levels,
+                   "refine_threshold": cfg.refine_threshold_resolved},
         "accel_s_incl_compile": t2 - t1,
         "steps2_s_incl_compile": t4 - t3,
         "stats": {k: (v.tolist() if v.size < 16 else

@@ -93,6 +93,61 @@ def main() -> int:
         if not ok:
             failures.append(f"perf:{name}")
 
+    # ---- steep-core profiles (round 4, VERDICT r3 #6): dense + adaptive
+    # on a 131k Plummer core — steps/s floor plus a sampled-exact accuracy
+    # cross-check, so a default change can't silently regress the paths
+    # shipped for steep scenes.  Floors/bounds are provisional (~0.5x /
+    # ~2x guesses from the 1M probe scaling) until the first round-4 TPU
+    # smoke run pins them — tighten to ~0.5x/2x of measured then.
+    from nbody_tpu.ops.pairwise import pairwise_acc_pallas_targets
+    from nbody_tpu.ops.traversal import resolve_adaptive_overrides
+    from nbody_tpu.scenes import plummer_sphere
+
+    n_pl = 1 << 17
+    width = 40.0
+    pparams = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                               bounds_width=width, dtype=jnp.float32)
+    pos, vel, mass = plummer_sphere(n_pl, scale=1.0, seed=0)
+    keep = np.all(np.abs(np.asarray(pos)) <= width / 2, axis=1)
+    pos, vel, mass = pos[keep], vel[keep], mass[keep]
+    stp = ParticleState.create(pos, vel, mass, capacity=n_pl,
+                               dtype=jnp.float32)
+    mp = stp.effective_mass()
+    rng = np.random.default_rng(0)
+    samp = np.sort(rng.choice(len(pos), 4096, replace=False))
+    ref_s = np.asarray(pairwise_acc_pallas_targets(
+        stp.pos[samp], stp.pos, mp, pparams.g, pparams.g_soft))
+    typ = float(np.median(np.linalg.norm(ref_s, axis=1)))
+    for pname, opts, floor, abound in (
+            ("bh-dense@131k-plummer", dict(profile="dense"), 6.0, 3e-2),
+            ("bh-adaptive@131k-plummer",
+             dict(profile="adaptive",
+                  **resolve_adaptive_overrides(pos, (0., 0., 0.), width)),
+             3.5, 1e-2),
+    ):
+        eng = get_engine("bh", **opts)
+        acc = np.asarray(jax.jit(eng.force)(stp.pos, mp, pparams))[samp]
+        err = np.linalg.norm(acc - ref_s, axis=1) / typ
+        p99 = float(np.percentile(err, 99))
+        ok = np.isfinite(err).all() and p99 < abound
+        print(f"[accuracy] {pname} sampled p99_typ {p99:.2e} "
+              f"(bound {abound:.0e}) {'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(f"accuracy:{pname}")
+        run = make_run(eng.force)
+        steps = 10
+        out = run(stp, pparams, steps)
+        float(out.time)
+        t0 = time.perf_counter()
+        out = run(out, pparams, steps)
+        float(out.time)
+        rate = steps / (time.perf_counter() - t0)
+        ok = rate >= floor and bool(np.isfinite(np.asarray(out.pos)).all())
+        print(f"[perf] {pname}: {rate:.1f} steps/s (floor {floor}) "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            failures.append(f"perf:{pname}")
+
     if failures:
         print("SMOKE FAILED:", ", ".join(failures))
         return 1

@@ -6,6 +6,8 @@ O(N/n_dev + halo) — asserted at trace time — and forces must match the
 single-chip engine to collective-reduction-order tolerance, including at a
 realistic N=131072 with the production auto_for config."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -499,3 +501,77 @@ def test_domain_accel_preset_accuracy_gate():
     print(f"p99 rel err: single {e_single:.3e}, domain {e_domain:.3e}")
     assert e_domain < 2e-2  # absolute envelope (CPU gates: ~4.4e-3 @65k)
     assert e_domain <= 2.0 * max(e_single, 1e-4)
+
+
+def test_domain_adaptive_straddling_cell_degrades_gracefully():
+    """A flagged cell whose sorted range crosses a chip boundary cannot be
+    refined on the domain path (its deep order is only piecewise sorted);
+    it must keep the unrefined near/fallback path — counted in
+    refine_stats[1] — with forces still inside the walk's envelope."""
+    mesh = make_mesh(NDEV)
+    n = 1024  # n_loc = 128
+    rng = np.random.default_rng(7)
+    # 600-particle point cluster: one leaf cell at max_level=3 whose range
+    # (600 rows) necessarily spans several 128-row shards -> guaranteed straddle
+    cluster = (0.05 * rng.standard_normal((600, 3)) + 1.0)
+    rest = rng.uniform(-4.0, 4.0, (n - 600, 3))
+    pos = jnp.asarray(np.concatenate([cluster, rest]), jnp.float64)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float64)
+    params = SimParams.create(g_soft=0.05, theta2=1.0, bounds_width=10.0,
+                              dtype=jnp.float64)
+    cfg = BHConfig(max_level=3, group_size=128, subgroups=8, window_pad=32,
+                   frontier_cap=512, accept_cap=512, near_cell_cap=256,
+                   near_particle_cap=512, far_cell_cap=64,
+                   far_particle_cap=256, start_level=1, chunk_groups=1,
+                   refine_levels=2, refine_cap=64, refine_threshold=64,
+                   refine_frontier=128, refine_near_cell_cap=128,
+                   refine_near_particle_cap=512, refine_far_cell_cap=64,
+                   refine_far_particle_cap=256)
+
+    def make_body(c):
+        def body(p_loc, m_loc):
+            acc, stats = domain_accel(p_loc, m_loc, params.bounds,
+                                      params.theta2, params.g,
+                                      params.g_soft, c, AXIS, NDEV)
+            return acc, stats.get("refine_build_dropped",
+                                  jnp.zeros((), jnp.int32))
+        return body
+
+    def run(c):
+        sm = jax.shard_map(make_body(c), mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS)),
+                           out_specs=(P(AXIS), P()), check_vma=False)
+        acc, dropped = jax.jit(sm)(pos, mass)
+        return np.asarray(acc), int(dropped)
+
+    acc, dropped = run(cfg)
+    assert dropped >= 1  # the cluster cell was flagged and skipped
+    assert np.all(np.isfinite(acc))
+
+    # graceful degradation contract: the straddled cell keeps the
+    # UNREFINED path, so the adaptive run must be no worse than the
+    # refine_levels=0 run on the same scene/config.  (An absolute
+    # envelope would be wrong here: the cluster's own members see their
+    # whole neighborhood as one self-excluded multipole in BOTH runs —
+    # exactly the §18 steep-core mechanism adaptive exists to fix, which
+    # a straddled cell legitimately cannot.)
+    acc0, dropped0 = run(dataclasses.replace(
+        cfg, refine_levels=0, refine_threshold=0))
+    p = np.asarray(pos)
+    m = np.asarray(mass)
+    d = p[None, :, :] - p[:, None, :]
+    r2 = (d * d).sum(-1) + float(params.g_soft) ** 2
+    inv = r2 ** -1.5
+    np.fill_diagonal(inv, 0.0)
+    ref = (d * (m[None, :, None] * inv[:, :, None])).sum(1)
+    scale = np.linalg.norm(ref, axis=1)
+    typ = np.median(scale)
+
+    def p99(a):
+        return np.percentile(
+            np.linalg.norm(a - ref, axis=1) / np.maximum(scale, typ), 99)
+
+    e_ada, e_unref = p99(acc), p99(acc0)
+    # adaptive (with the straddled cell degraded) still refines every
+    # non-straddling flagged cell, so it must not be WORSE than unrefined
+    assert e_ada <= 1.05 * e_unref, (e_ada, e_unref)

@@ -180,7 +180,7 @@ def test_refine_2d_quadtree():
 def test_refine_config_validation():
     with pytest.raises(ValueError, match="Morton depth"):
         BHConfig(max_level=8, refine_levels=3)
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="wide row format"):
         BHConfig(max_level=4, refine_levels=2, wide=True)
     with pytest.raises(ValueError, match="fb_quad"):
         BHConfig(max_level=4, refine_levels=2, fb_quad=True, quad_leaf=True)

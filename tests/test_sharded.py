@@ -255,12 +255,133 @@ def test_sharded_dense_profile_and_strategy_validation():
     with pytest.raises(ValueError, match="requires engine"):
         ShardedSimulation(pos, vel, mass, engine="brute", strategy="bh",
                           n_devices=8, **common)
-    # density-adaptive refinement is single-chip only: the sharded walks
-    # have no refined-table route, so both spellings must fail loudly
-    # instead of silently dropping the accuracy the profile exists for
-    with pytest.raises(ValueError, match="single-chip"):
-        ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+    # density-adaptive refinement rides the bh strategies only; a strategy
+    # with no refined-table route must fail loudly instead of silently
+    # dropping the accuracy the profile exists for
+    with pytest.raises(ValueError, match="adaptive"):
+        ShardedSimulation(pos, vel, mass, engine="bh", strategy="ring",
+                          n_devices=8,
                           engine_options=dict(profile="adaptive"), **common)
-    with pytest.raises(ValueError, match="single-chip"):
-        ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
-                          engine_options=dict(refine_levels=2), **common)
+
+
+# ---- density-adaptive refinement on the mesh (round 4) ---------------------
+
+# small refined stack that actually fires on the 500-particle disc: leaf
+# cells at max_level=4 hold tens of particles, threshold 16 flags the disc
+# core without any flagged range straddling a 512-row chip boundary
+# (asserted via refine_build_dropped == 0 where the test's premise needs it)
+ADA_OPTS = dict(refine_levels=2, refine_cap=64, refine_threshold=16,
+                refine_frontier=256, refine_near_cell_cap=512,
+                refine_near_particle_cap=1024, refine_far_cell_cap=128,
+                refine_far_particle_cap=512, **BH_OPTS)
+
+
+def test_sharded_tree_build_refined_matches_single():
+    """build_octree_sharded with refine_levels > 0: the replicated refined
+    build must match build_octree BIT-IDENTICALLY (same deep sort, same
+    prefix sums on identical replicated inputs) — ADVICE r3 #2."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.ops.tree import build_octree, build_octree_sharded
+    from nbody_tpu.parallel.mesh import PARTICLE_AXIS, make_mesh
+
+    pos, vel, mass = self_gravitating_disc(500, seed=2)
+    state = ParticleState.create(pos, vel, mass, capacity=1024,
+                                 dtype=jnp.float64)
+    bounds = SimParams.create(bounds_width=10.0, dtype=jnp.float64).bounds
+    mass_eff = state.effective_mass()
+    level = 4
+    rkw = dict(refine_levels=2, refine_cap=64, refine_threshold=16)
+
+    ref = jax.jit(
+        lambda p, m: build_octree(p, m, bounds, level, **rkw)
+    )(state.pos, mass_eff)
+    assert int(ref.refine_stats[0]) > 0  # the premise: refinement fired
+
+    mesh = make_mesh(8)
+    axis = PARTICLE_AXIS
+
+    def local_build(pos_loc, mass_loc):
+        pos_all = jax.lax.all_gather(pos_loc, axis, tiled=True)
+        mass_all = jax.lax.all_gather(mass_loc, axis, tiled=True)
+        return build_octree_sharded(
+            pos_loc, mass_loc, pos_all, mass_all, bounds, level, axis, **rkw
+        )
+
+    got = jax.jit(
+        jax.shard_map(
+            local_build, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(), check_vma=False,
+        )
+    )(state.pos, mass_eff)
+
+    np.testing.assert_array_equal(np.asarray(got.order), np.asarray(ref.order))
+    np.testing.assert_array_equal(
+        np.asarray(got.refine_slot_leaf), np.asarray(ref.refine_slot_leaf))
+    np.testing.assert_array_equal(
+        np.asarray(got.refine_stats), np.asarray(ref.refine_stats))
+    for r in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(got.refine_tables[r]), np.asarray(ref.refine_tables[r]))
+    np.testing.assert_array_equal(
+        np.asarray(got.refine_child_slot[0]),
+        np.asarray(ref.refine_child_slot[0]))
+
+
+def test_sharded_adaptive_replicated_matches_single():
+    """profile-free adaptive spelling (explicit refine options) on the
+    REPLICATED strategy: same refined build, same walk -> parity with the
+    single-chip adaptive engine."""
+    ps, p1, sh, si = run_pair("bh", "bh-replicated", steps=5, capacity=2048,
+                              **ADA_OPTS)
+    assert sh.n_alive == si.n_alive
+    np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_adaptive_domain_matches_single():
+    """Adaptive refinement on the DOMAIN path (round 4): per-owner-chip
+    refined build + refined local/far slab routes.  The deep re-sort is
+    stable on both sides, so refined ranges are identical and forces agree
+    up to collective summation order — PROVIDED no flagged cell straddles
+    a chip boundary (straddlers legitimately keep the unrefined path,
+    which differs by theta-level approximation, so the premise is
+    asserted explicitly below)."""
+    from nbody_tpu.core.state import ParticleState, SimParams
+    from nbody_tpu.ops.tree import build_octree
+
+    pos, vel, mass = self_gravitating_disc(500, seed=0)
+    st = ParticleState.create(pos, vel, mass, capacity=2048,
+                              dtype=jnp.float64)
+    bounds = SimParams.create(bounds_width=10.0, dtype=jnp.float64).bounds
+    tree = build_octree(st.pos - bounds.center, st.effective_mass(),
+                        bounds.centered(), ADA_OPTS["max_level"])
+    starts = np.asarray(tree.leaf_starts)
+    s, e = starts[:-1], starts[1:]
+    flagged = (e - s) > ADA_OPTS["refine_threshold"]
+    n_loc = 2048 // 8
+    assert flagged.any()  # refinement fires on this scene
+    assert np.all((s[flagged] // n_loc) == ((e[flagged] - 1) // n_loc)), (
+        "test premise broken: a flagged cell straddles a chip boundary — "
+        "pick a different seed/threshold")
+
+    ps, p1, sh, si = run_pair("bh", "bh", steps=5, capacity=2048, **ADA_OPTS)
+    assert sh.n_alive == si.n_alive
+    np.testing.assert_allclose(ps, p1, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_adaptive_profile_resolves():
+    """profile='adaptive' resolves a refined stack on the sharded path
+    (per-chip preset + per-scene deep/tight choice), mirroring the
+    single-chip engine spelling."""
+    from nbody_tpu.ops.traversal import resolve_adaptive_overrides
+
+    pos, vel, mass = self_gravitating_disc(2000, seed=3)
+    ov = resolve_adaptive_overrides(pos, (0.0, 0.0, 0.0), 10.0)
+    sim = ShardedSimulation(pos, vel, mass, engine="bh", n_devices=8,
+                            engine_options=dict(profile="adaptive"),
+                            dt=3e-2, g_soft=0.02, theta2=1.0,
+                            dtype=jnp.float32)
+    assert sim._bh_config.refine_levels == ov["refine_levels"]
+    assert sim._bh_config.refine_threshold == ov["refine_threshold"]
+    assert sim._bh_config.max_level == ov["max_level"]
