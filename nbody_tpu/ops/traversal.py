@@ -80,11 +80,26 @@ DENSE_OVERRIDES = dict(max_level=8, near_particle_cap=2048,
 # particles should drop to max_level=6 / refine_levels=4 (measured
 # 4.3e-2 at width 10 vs 5.2e-2 for this stack).  Single-chip only:
 # refine_levels is gated off the sharded walks.
+#
+# Round-4 throughput re-tune (results/ada_tune_r4.jsonl, v5e
+# 2026-08-20): the original §19 stack measured 663 ms/force @1M w40
+# (1.51 calls/s) and the op profile (scripts/profile_adaptive.py)
+# showed it budget-dominated, not hardware-floored: collect walk 271 ms
+# (4x frontier/accept), pair kernel 150 ms (16k refined-near slab rows),
+# XLA fb eval ~100 ms (fb_cap 2048 dense per group).  Probes with
+# sampled-exact gates: fb 2048->512 is FREE (p99 identical to 7 digits
+# — fb rows barely matter, consistent with the fb_quad findings),
+# frontier 8192->2048 + accept 8192->4096 and refined-near 16384->8192
+# each cost ~0.004 p99.  Shipped: 433 ms (2.31 calls/s, +53%) at p99
+# 0.0248 vs 0.0165 before — both 2-3x inside the 5e-2 envelope; zero
+# accept drops.  The conservative pre-cut stack remains one override
+# away (fb_cap=2048, frontier_cap=8192, accept_cap=8192,
+# refine_near_particle_cap=16384).
 ADAPTIVE_OVERRIDES = dict(
     max_level=7, refine_levels=3, refine_threshold=128,
-    near_particle_cap=2048, frontier_cap=8192, accept_cap=8192,
-    near_cell_cap=4096, fb_cap=2048, refine_frontier=1024,
-    refine_near_cell_cap=4096, refine_near_particle_cap=16384)
+    near_particle_cap=2048, frontier_cap=2048, accept_cap=4096,
+    near_cell_cap=4096, fb_cap=512, refine_frontier=1024,
+    refine_near_cell_cap=4096, refine_near_particle_cap=8192)
 
 # the TIGHT-BOX adaptive stack (measured deep_l6r4 rows, VALIDATION.md §19):
 # when the domain box is narrow relative to the core, the depth-7 grid's
@@ -95,11 +110,29 @@ ADAPTIVE_OVERRIDES = dict(
 # p99_typ 4.3e-2 at width 10 (deep stack: 5.2e-2, FAILS the 5e-2 envelope)
 # and 3.3e-2 at width 40 (passes, but 2x the deep stack's 1.7e-2 — which is
 # why the choice is resolved per scene, resolve_adaptive_overrides).
+#
+# Round-4 re-tune for THIS stack (tight_w10_* rows, ada_tune_r4.jsonl):
+# w10 is the marginal regime, so it keeps more budget than the deep
+# stack — the full deep cut measured p99 0.0489 (2% from the envelope,
+# max 3.9) and accept_cap 4096 produced 703 TRUE drops; fb 2048->512 +
+# frontier 8192->4096 with accept kept at 8192 ships 482 ms (2.08
+# calls/s, +27% over 613 ms) at p99 0.0401 vs 0.0381 before, zero
+# drops.
 ADAPTIVE_TIGHT_OVERRIDES = dict(
     max_level=6, refine_levels=4, refine_threshold=512,
-    near_particle_cap=2048, frontier_cap=8192, accept_cap=8192,
-    near_cell_cap=4096, fb_cap=2048, refine_frontier=1024,
+    near_particle_cap=2048, frontier_cap=4096, accept_cap=8192,
+    near_cell_cap=4096, fb_cap=512, refine_frontier=1024,
     refine_near_cell_cap=4096, refine_near_particle_cap=16384)
+
+#: the round-4 budget cuts were measured at 1M and DO NOT transfer
+#: down-N: at 131k w40 the cut tight stack read sampled p99_typ 0.59 vs
+#: 0.078 with the §19 budgets (smoke_tpu, 2026-08-20) — at 32 groups the
+#: per-group budget pressure concentrates differently.  At or below this
+#: N the resolvers restore the §19 budgets (speed matters less there:
+#: 131k adaptive already runs ~6 steps/s).
+ADAPTIVE_CUT_MIN_N = 262145
+_ADAPTIVE_BIG_BUDGETS = dict(frontier_cap=8192, accept_cap=8192,
+                             fb_cap=2048, refine_near_particle_cap=16384)
 
 
 def scene_occupancy(pos, bounds_center, bounds_width, sample_cap=1 << 21):
@@ -157,8 +190,18 @@ def scene_occupancy(pos, bounds_center, bounds_width, sample_cap=1 << 21):
 #: contrast above this = steep-core scene (auto-detection threshold; the
 #: measured gap is 14 vs 92+ so the cut sits well clear of both sides)
 STEEP_CONTRAST = 40.0
-#: deep-stack purchase threshold on frac_over128_l7 (measured 0.72 vs 3e-4)
-DEEP_FRAC = 0.05
+#: deep-stack purchase threshold on frac_over128_l7.  Measured on TPU
+#: (2026-08-20): deep wins only when the over-threshold level-7 cells
+#: hold MOST of the scene's mass — 1M Plummer w40 frac 0.72 -> deep
+#: p99_typ 0.017 (tight 0.033); 131k w40 frac 0.27 -> deep 0.686 vs
+#: tight 0.055-0.070 (the core-shoulder cells sit under the fixed count
+#: threshold at the smaller N, and lowering the threshold measured
+#: EXACTLY ZERO change — deep_t128/t64/t32/t16 all 0.6858 — so the
+#: deficit is structural to the sparse ml7 grid, not the flagging);
+#: 1M w10 frac 3e-4 -> deep fails its envelope, tight passes.  The
+#: boundary between 0.35 (deep bad) and 0.72 (deep good) is unprobed;
+#: 0.5 splits it.
+DEEP_FRAC = 0.5
 
 
 def resolve_adaptive_overrides(pos, bounds_center, bounds_width,
@@ -170,7 +213,10 @@ def resolve_adaptive_overrides(pos, bounds_center, bounds_width,
     (plummer_1m.jsonl deep_* gate rows)."""
     occ = occupancy or scene_occupancy(pos, bounds_center, bounds_width)
     deep = occ["frac_over128_l7"] >= DEEP_FRAC
-    return dict(ADAPTIVE_OVERRIDES if deep else ADAPTIVE_TIGHT_OVERRIDES)
+    ov = dict(ADAPTIVE_OVERRIDES if deep else ADAPTIVE_TIGHT_OVERRIDES)
+    if occ["n_in"] < ADAPTIVE_CUT_MIN_N:
+        ov.update(_ADAPTIVE_BIG_BUDGETS)  # see ADAPTIVE_CUT_MIN_N
+    return ov
 
 
 def detect_scene_profile(pos, bounds_center, bounds_width, occupancy=None):
@@ -589,11 +635,17 @@ class BHConfig:
             # neighborhood, which only density-ADAPTIVE depth removes.
             base.update(DENSE_OVERRIDES)
         if profile == "adaptive":
-            # Density-adaptive steep-core preset (VALIDATION.md §19): the
-            # per-octant refined build resolves the 1e5:1 Plummer core the
-            # static 'dense' stack could not (p99_typ 0.147 -> 0.017 at
-            # width 40), at ~0.87x its step rate.  Single-chip only.
+            # Density-adaptive steep-core preset (VALIDATION.md §19/§20):
+            # the per-octant refined build resolves the 1e5:1 Plummer core
+            # the static 'dense' stack could not (p99_typ 0.147 -> 0.017
+            # at width 40).  Scene-aware callers resolve the deep vs
+            # tight-box stack via resolve_adaptive_overrides; this
+            # positions-free spelling defaults to the deep stack.  The
+            # round-4 budget cuts apply only at the N they were measured
+            # (see ADAPTIVE_CUT_MIN_N).
             base.update(ADAPTIVE_OVERRIDES)
+            if n < ADAPTIVE_CUT_MIN_N:
+                base.update(_ADAPTIVE_BIG_BUDGETS)
         if profile == "accurate" and n > 32768:
             # restore ONLY the window pad: the drift-attribution split
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut

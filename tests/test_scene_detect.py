@@ -39,14 +39,29 @@ def test_contrast_separates_disc_from_plummer():
 
 
 def test_adaptive_regime_choice_matches_measured_rule():
-    """Wide box -> deep stack (refinement fires at ml7/t128); tight box ->
-    ml6+R4 (the threshold-mechanism gotcha: smaller cells hold fewer
-    particles, so ml7 refinement fires on nothing)."""
+    """Deep stack only where the over-threshold level-7 cells hold most
+    of the mass (frac >= DEEP_FRAC = 0.5 — see the constant's measured
+    rationale: deep wins at 1M-w40/frac 0.72, loses 10x to tight at
+    131k-w40/frac 0.27 and at every tight-box width); everything else
+    gets the tight ml6+R4 stack."""
     plum = plummer_sphere(70000, scale=1.0, seed=0)[0]
-    assert resolve_adaptive_overrides(plum, CENTER, 40.0) == (
-        ADAPTIVE_OVERRIDES)
-    assert resolve_adaptive_overrides(plum, CENTER, 10.0) == (
-        ADAPTIVE_TIGHT_OVERRIDES)
+
+    def stack_of(ov):
+        return {k: ov[k] for k in ("max_level", "refine_levels",
+                                   "refine_threshold")}
+
+    # w160: level-7 cells 4x wider than w40 -> frac 0.84 -> deep
+    deep = resolve_adaptive_overrides(plum, CENTER, 160.0)
+    assert stack_of(deep) == stack_of(ADAPTIVE_OVERRIDES)
+    # w40 at 70k: frac 0.27 (the shoulder sits under the count
+    # threshold) -> tight, matching the 131k TPU measurement
+    assert stack_of(resolve_adaptive_overrides(plum, CENTER, 40.0)) == (
+        stack_of(ADAPTIVE_TIGHT_OVERRIDES))
+    assert stack_of(resolve_adaptive_overrides(plum, CENTER, 10.0)) == (
+        stack_of(ADAPTIVE_TIGHT_OVERRIDES))
+    # budget N-gate: below ADAPTIVE_CUT_MIN_N the round-4 1M budget cuts
+    # are rolled back (131k measured p99 0.59 cut vs 0.078 uncut)
+    assert deep["fb_cap"] == 2048 and deep["frontier_cap"] == 8192
 
 
 def test_occupancy_handles_empty_and_offcenter():
@@ -69,7 +84,7 @@ def test_auto_engine_detects_steep_core():
     assert sim.engine.name.startswith("bh")
     assert sim.engine_options.get("profile") == "adaptive"
     assert sim.engine_options.get("max_level") == (
-        ADAPTIVE_OVERRIDES["max_level"])
+        ADAPTIVE_TIGHT_OVERRIDES["max_level"])
 
     disc = self_gravitating_disc(70000, seed=0)
     simd = Simulation(*disc, engine="auto", bounds_width=10.0,
