@@ -47,7 +47,7 @@ from perf_benchmark import main as bench_main  # noqa: E402
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results")
 DEVICES = [1, 2, 4, 8]
-POINTS = ["20000", "65536", "131072"]
+POINTS = ["20000", "65536"]
 
 
 def main():
@@ -59,7 +59,7 @@ def main():
             print(f"[scaling] skip devices={d} (exists)", flush=True)
             continue
         argv = ["-o", out, "-p", *POINTS, "--engines", "bh",
-                "--steps", "30", "--repeats", "2", "--chunk", "30"]
+                "--steps", "10", "--repeats", "2", "--chunk", "10"]
         if d > 1:
             argv += ["--devices", str(d)]
         print(f"[scaling] devices={d} ...", flush=True)
