@@ -90,8 +90,8 @@ class Simulation:
                 # the density-adaptive profile.  Explicit profile/engine
                 # choices are always respected.
                 from nbody_tpu.ops.traversal import (
-                    detect_scene_profile, resolve_adaptive_overrides,
-                    scene_occupancy)
+                    STEEP_CONTRAST, detect_scene_profile,
+                    resolve_adaptive_overrides, scene_occupancy)
 
                 occ = scene_occupancy(pos, bounds_center, bounds_width)
                 if detect_scene_profile(
@@ -104,7 +104,7 @@ class Simulation:
                     print(
                         "[nbody-tpu] engine='auto': steep-core scene "
                         f"detected (occupancy contrast {occ['contrast']:.0f}"
-                        f" > {40:.0f}) -> profile='adaptive' "
+                        f" > {STEEP_CONTRAST:.0f}) -> profile='adaptive' "
                         f"(max_level={ov['max_level']}, refine_levels="
                         f"{ov['refine_levels']}); pass engine='bh' or "
                         "profile='fast' to override"

@@ -116,6 +116,12 @@ def main(argv=None) -> dict:
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     pos, vel, mass = SCENES[args.scene](args.num_points, seed=args.seed)
+    # ONE bounds definition for the whole CLI: the adaptive-stack resolver
+    # and the Simulation constructors must see the same box or occupancy
+    # is measured on the wrong region (advisor r4).  All current CLI
+    # scenes are origin-centered; a future --box-center flag changes only
+    # this line.
+    bounds_center = (0.0, 0.0, 0.0)
 
     if args.engine == "auto" and args.devices and args.devices > 1:
         # ShardedSimulation has no auto mode; apply the api's crossover here
@@ -155,7 +161,7 @@ def main(argv=None) -> dict:
         # plummer_1m.jsonl deep_* gate rows; VERDICT r3 #3)
         from nbody_tpu.ops.traversal import resolve_adaptive_overrides
 
-        ov = resolve_adaptive_overrides(pos, (0.0, 0.0, 0.0),
+        ov = resolve_adaptive_overrides(pos, bounds_center,
                                         args.box_width)
         eng_opts.update(ov)
         print(f"[nbody-tpu] --adaptive resolved to the "
@@ -188,6 +194,7 @@ def main(argv=None) -> dict:
             engine=args.engine,
             integrator=args.integrator,
             n_devices=args.devices,
+            bounds_center=bounds_center,
             bounds_width=args.box_width,
             dtype=dtype,
             dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
@@ -198,6 +205,7 @@ def main(argv=None) -> dict:
             pos, vel, mass,
             engine=args.engine,
             integrator=args.integrator,
+            bounds_center=bounds_center,
             bounds_width=args.box_width,
             dtype=dtype,
             dt=args.dt, g=args.g, g_soft=args.g_soft, theta2=args.theta2,
@@ -259,11 +267,9 @@ def main(argv=None) -> dict:
                       energy_drift=abs((e1 - e0) / e0) if e0 else float("nan"),
                       energy_method=resolved)
     if args.save:
-        if hasattr(sim, "save"):
-            sim.save(args.save)
-            result["checkpoint"] = args.save
-        else:
-            print("warning: --save not supported for sharded runs yet")
+        # both Simulation and ShardedSimulation implement save()
+        sim.save(args.save)
+        result["checkpoint"] = args.save
     if args.json:
         print(json.dumps(result))
     else:

@@ -423,10 +423,12 @@ def _check_range_dtype(n: int, ftype, wide: bool = False) -> None:
     encoding (domain-decomposed builds, see wide_ranges) extends the f32
     ceiling to 2^31 (the int32 index arithmetic limit)."""
     limit = 1 << (53 if ftype == jnp.float64 else (31 if wide else 24))
-    assert n < limit, (
-        f"N={n} exceeds the exact-integer range of {jnp.dtype(ftype).name} "
-        "node tables; use float64 (jax_enable_x64) for N >= 2^24"
-    )
+    if n >= limit:  # ValueError, not assert: must survive python -O
+        raise ValueError(
+            f"N={n} exceeds the exact-integer range of "
+            f"{jnp.dtype(ftype).name} node tables; use float64 "
+            "(jax_enable_x64) for N >= 2^24"
+        )
 
 
 def _pyramid_tables(leaf_mass, leaf_mpos, leaf_counts, max_level: int,

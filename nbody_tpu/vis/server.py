@@ -50,6 +50,7 @@ class SimLoop(threading.Thread):
         self.steps_done = 0
         self.step_time = 0.0
         self.frame_times = deque(maxlen=60)  # reference 60-sample ring
+        self._last_frame_start = None  # for frame-to-frame wall periods
         self._halt = False  # NOT "_stop": threading.Thread.join() calls its
         # internal _stop() method, which a bool attribute would shadow
         self._pending = 0  # manual single steps (+fwd/-back)
@@ -86,6 +87,13 @@ class SimLoop(threading.Thread):
     def run(self):
         while not self._halt:
             frame_start = time.perf_counter()
+            # fps measures real frame-to-frame wall periods (including the
+            # cap sleep), matching the reference's 60-sample ring of frame
+            # durations (src/vis.rs:53-68) — NOT per-frame work time, which
+            # on a paused sim is microseconds and reads as ~80k fps.
+            if self._last_frame_start is not None:
+                self.frame_times.append(frame_start - self._last_frame_start)
+            self._last_frame_start = frame_start
             did = 0
             with self.lock:
                 # manual steps first (forward or rewind via negative dt)
@@ -124,7 +132,6 @@ class SimLoop(threading.Thread):
                         )
                         self.steps_done += 1
                         did += 1
-            self.frame_times.append(time.perf_counter() - frame_start)
             # respect the fps cap
             sleep = 1.0 / self.max_fps - (time.perf_counter() - frame_start)
             if sleep > 0:

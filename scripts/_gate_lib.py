@@ -153,7 +153,9 @@ def run_drift_gate(configs, n, out, state, params, steps=200,
 
     done = load_done(out)
     todo = {k: v for k, v in configs.items() if k not in done}
-    if not todo:
+    ratios_missing = [k for k in configs if k != control_name
+                      and f"{k}_vs_{control_name}" not in done]
+    if not todo and not ratios_missing:
         return
     assert control_name in configs, (
         f"drift gate needs a {control_name!r} config to ratio against")
@@ -188,8 +190,14 @@ def run_drift_gate(configs, n, out, state, params, steps=200,
         })
 
     ctrl = drifts[control_name]
-    for name in todo:
+    # iterate every non-control config whose RATIO record is missing, not
+    # just names measured this run: a candidate whose rel_drift row landed
+    # in a previously interrupted run would otherwise never get its
+    # drift_ratio/pass verdict on resume (advisor r4).
+    for name in configs:
         if name == control_name:
+            continue
+        if f"{name}_vs_{control_name}" in done:
             continue
         ratio = drifts[name] / max(ctrl, 1e-30)
         ok = ratio <= max_ratio
