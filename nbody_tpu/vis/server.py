@@ -264,9 +264,12 @@ class VisServer:
                 if path in ("/", "/index.html"):
                     with open(os.path.join(_STATIC, "index.html"), "rb") as f:
                         self._send(f.read(), "text/html")
-                elif path == "/sim.js":
-                    # the in-browser engine (local mode / ?local=1)
-                    with open(os.path.join(_STATIC, "sim.js"), "rb") as f:
+                elif path in ("/sim.js", "/client.js"):
+                    # sim.js: the in-browser engine (local mode /
+                    # ?local=1); client.js: the extracted camera/control/
+                    # frame-loop logic (validated by the Python
+                    # executable spec, tests/test_browser_client.py)
+                    with open(os.path.join(_STATIC, path[1:]), "rb") as f:
                         self._send(f.read(), "text/javascript")
                 elif path == "/api/positions":
                     stride = None
