@@ -279,6 +279,16 @@ class BHConfig:
     # (ops/group_force.py), "xla" = slab contraction, "auto" = pallas on
     # TPU f32, xla otherwise (CPU tests, f64)
     eval_tile: int = 2048  # pallas kernel source-tile width
+    xla_p_block: int = -1  # XLA eval backend only: roll the pair block
+    # over source-row blocks of this width (lax.scan accumulation) so the
+    # [B, S] / [B, S, 3] intermediates never materialize beyond
+    # [B, xla_p_block].  -1 = auto: 2048 off-TPU, unbounded on TPU (the
+    # Pallas path never sees this; TPU-f64 XLA runs keep the fused form).
+    # 0 = unbounded.  THIS is what made production-budget virtual-mesh
+    # programs executable: at group 8192 / cg 8 / slab ~34816 the fused
+    # XLA eval plans ~11.4 GB of temps PER PARTITION (91 GB for an
+    # 8-device CPU mesh — the round-4 "compile blocker", actually an
+    # execute-phase blowup; results/compile_blowup_bisect.jsonl).
     multipole: str = "quad"  # "mono" = classic Barnes-Hut monopoles;
     # "quad" = traceless quadrupole moments on the accepted-node slab —
     # one order of (w/d) more accurate at the same theta (p99 relative
@@ -698,12 +708,54 @@ def _resolve_eval_mode(cfg: BHConfig, dtype) -> str:
     return "xla"
 
 
-def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center=None):
+def _resolve_p_block(cfg: BHConfig) -> int:
+    """Source-block width for the XLA pair eval (0 = unbounded).  Auto:
+    2048 off-TPU — the CPU/virtual-mesh backend otherwise materializes
+    [chunk_groups, B, S] temps that reach ~11.4 GB per partition at
+    production budgets (the round-4 execute-phase blowup,
+    results/compile_blowup_bisect.jsonl); unbounded on TPU, where f32
+    rides Pallas and the f64 XLA slabs are modest."""
+    if cfg.xla_p_block == -1:
+        return 0 if jax.default_backend() == "tpu" else 2048
+    return cfg.xla_p_block
+
+
+def _pair_block(gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center=None,
+                p_block=0):
     """Direct pairwise acceleration of group targets vs a source slab.
     Self-pairs masked by global sorted index; coincident pairs skipped
     (the reference LLM engine's r^2 guard, src/llm/barnes_hut.rs:819).
     This is the XLA eval backend; the Pallas backend (ops/group_force.py)
-    computes the identical sum without the [B, P] HBM intermediates."""
+    computes the identical sum without the [B, P] HBM intermediates.
+
+    ``p_block`` > 0 rolls the evaluation over source blocks of that width
+    (lax.scan accumulation), bounding every [B, P]-shaped intermediate to
+    [B, p_block] — see _resolve_p_block."""
+    P = ppos.shape[0]
+    if p_block and P > p_block:
+        pad = (-P) % p_block
+        if pad:
+            ppos = jnp.concatenate(
+                [ppos, jnp.zeros((pad, ppos.shape[1]), ppos.dtype)])
+            pm = jnp.concatenate([pm, jnp.zeros((pad,), pm.dtype)])
+            pvalid = jnp.concatenate(
+                [pvalid, jnp.zeros((pad,), pvalid.dtype)])
+            if pidx is not None:
+                pidx = jnp.concatenate(
+                    [pidx, jnp.full((pad, ), -1, pidx.dtype)])
+        nb = (P + pad) // p_block
+
+        def body(acc, blk):
+            pp, pmb, pib, pvb = blk
+            return acc + _pair_block(gpos, gidx, pp, pmb, pib, pvb,
+                                     g, g_soft, center), None
+
+        xs = (ppos.reshape(nb, p_block, -1), pm.reshape(nb, p_block),
+              None if pidx is None else pidx.reshape(nb, p_block),
+              pvalid.reshape(nb, p_block))
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((gpos.shape[0], gpos.shape[1]), gpos.dtype), xs)
+        return acc
     if center is not None:
         return _pair_block_mxu(
             gpos, gidx, ppos, pm, pidx, pvalid, g, g_soft, center
@@ -1516,7 +1568,7 @@ def _quad_slab(mono, all_quad, goffs, excl_level: int = -1):
     return jnp.concatenate([com, m[..., None], q, zeros6], axis=-1)
 
 
-def _quad_block(gpos, qrows, g, g_soft):
+def _quad_block(gpos, qrows, g, g_soft, p_block=0):
     """XLA backend for the quadrupole slab eval (CPU tests, f64): one group's
     targets [B, 3] vs quad source rows [A, 16] -> acc [B, 3].
 
@@ -1529,7 +1581,26 @@ def _quad_block(gpos, qrows, g, g_soft):
     surroundings — here (XLA, shared rows), ops/group_force._quad_kernel
     (Pallas), and _fb_eval's quad branch (per-target self-excluded
     moments).  Keep their guards in sync: all three mask exactly r² <= 0,
-    never an absolute floor (scene scale is unbounded below)."""
+    never an absolute floor (scene scale is unbounded below).
+
+    ``p_block`` > 0 rolls over source-row blocks exactly like _pair_block
+    (bounds the [B, A]-shaped intermediates — the accept slab at
+    production budgets is as wide as the near slab)."""
+    if p_block and qrows.shape[0] > p_block:
+        A = qrows.shape[0]
+        pad = (-A) % p_block
+        if pad:  # zero mass -> ok False -> contributes nothing
+            qrows = jnp.concatenate(
+                [qrows, jnp.zeros((pad, qrows.shape[1]), qrows.dtype)])
+        nb = (A + pad) // p_block
+
+        def body(acc, qblk):
+            return acc + _quad_block(gpos, qblk, g, g_soft), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros_like(gpos),
+            qrows.reshape(nb, p_block, qrows.shape[1]))
+        return acc
     com = qrows[:, :3]
     m = qrows[:, 3]
     e = com[None, :, :] - gpos[:, None, :]  # [B, A, 3]
@@ -1585,12 +1656,13 @@ def _quad_eval(qslab, tgt8, g, g_soft, cfg: BHConfig):
 
     CG = cfg.chunk_groups
     n_chunks = G // CG
+    pb = _resolve_p_block(cfg)
 
     def eval_body(args):
         q_c, t8_c = args
-        return jax.vmap(lambda q, t8: _quad_block(t8[:, :3], q, g, g_soft))(
-            q_c, t8_c
-        )
+        return jax.vmap(
+            lambda q, t8: _quad_block(t8[:, :3], q, g, g_soft, p_block=pb)
+        )(q_c, t8_c)
 
     return jax.lax.map(
         eval_body,
@@ -1738,13 +1810,14 @@ def _self_square_eval(tgt8, mcen, g, g_soft, cfg: BHConfig):
         return group_self_force_pallas(tgt8, mcen, g, g_soft)
     G, B, _ = tgt8.shape
     CG = cfg.chunk_groups
+    pb = _resolve_p_block(cfg)
 
     def body(args):
         t8_c, m_c = args
         return jax.vmap(
             lambda t8, mc: _pair_block(
                 t8[:, :3], None, t8[:, :3], mc, None, mc != 0.0, g, g_soft,
-                None,
+                None, p_block=pb,
             )
         )(t8_c, m_c)
 
@@ -1790,6 +1863,7 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
 
     CG = cfg.chunk_groups
     n_chunks = G // CG
+    pb = _resolve_p_block(cfg)
 
     def eval_body(args):
         sl_c, t8_c, ct_c, mk_c = args
@@ -1812,6 +1886,7 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
                     t8[:, :3], tgi, sl[:, :3],
                     sl[:, 3], sli, sl[:, 3] != 0.0,
                     g, g_soft, ct if cfg.mxu_blocks else None,
+                    p_block=pb,
                 )
             # masked tile pairs: zero the source masses per TARGET TILE
             # (CPU/f64 reference path for the masked Pallas kernel)
@@ -1826,6 +1901,7 @@ def _slab_eval(slab, tgt8, center, g, g_soft, cfg: BHConfig, mask=None,
                     None if cfg.wide else t8_t[:, 4].astype(jnp.int32),
                     sl[:, :3], m_t, sli, m_t != 0.0,
                     g, g_soft, ct if cfg.mxu_blocks else None,
+                    p_block=pb,
                 )
 
             return jax.vmap(tile_eval)(

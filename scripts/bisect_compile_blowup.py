@@ -112,10 +112,17 @@ def child_main(cfg):
                 os._exit(42)
 
     if cfg["mode"] == "domain":
-        # must land before jax import
+        # must land before jax import.  Collective timeouts: 8 virtual
+        # devices share ONE core, so a big program trivially starves a
+        # device past the default 40 s rendezvous and the run F-aborts
+        # in CollectivePermute (CLAUDE.md) — raise them for the execute
+        # phase.
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=8")
+            + " --xla_force_host_platform_device_count=8"
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+            + " --xla_cpu_collective_timeout_seconds=7200")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -182,6 +189,33 @@ def child_main(cfg):
     compiled = lowered.compile()
     print(f"[phase] compiled {time.perf_counter() - t0:.0f}s "
           f"rss {rss_gb():.1f} peak {peak[0]:.1f}", flush=True)
+    try:
+        ma = compiled.memory_analysis()
+        print(f"[mem] temp {ma.temp_size_in_bytes / 1e9:.2f}GB "
+              f"args {ma.argument_size_in_bytes / 1e9:.2f}GB "
+              f"out {ma.output_size_in_bytes / 1e9:.2f}GB "
+              f"code {ma.generated_code_size_in_bytes / 1e6:.1f}MB",
+              flush=True)
+    except Exception as e:  # backend-dependent API
+        print(f"[mem] unavailable: {e}", flush=True)
+    if cfg.get("dump_big_shapes"):
+        # scan the optimized HLO for the monster buffers
+        import re as _re
+
+        txt = compiled.as_text()
+        sizes = {}
+        for m_ in _re.finditer(r"(f32|s32|u32|pred|f64|s64)\[([\d,]+)\]",
+                               txt):
+            dims = [int(x) for x in m_.group(2).split(",") if x]
+            nel = 1
+            for d in dims:
+                nel *= d
+            bs = nel * (8 if "64" in m_.group(1) else
+                        1 if m_.group(1) == "pred" else 4)
+            key = f"{m_.group(1)}[{m_.group(2)}]"
+            sizes[key] = max(sizes.get(key, 0), bs)
+        for k, v in sorted(sizes.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"[shape] {v / 1e9:8.3f}GB {k}", flush=True)
     if cfg.get("execute", True):
         t0 = time.perf_counter()
         out = compiled(state.pos, m)
