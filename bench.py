@@ -165,7 +165,65 @@ def main():
     else:
         result["flagship_100k_1000steps_s"] = "skipped: budget"
 
-    # secondary B: the BASELINE.json north-star (Barnes-Hut steps/s at N=1M)
+    # secondary B (round 5, VERDICT r4 #5): the adaptive steep-core
+    # capability — 1M Plummer w40, deep stack (ADAPTIVE_OVERRIDES), the
+    # round-4/5 tuning target.  Force-only calls/s + sampled-exact p99
+    # from ONE compiled program (a separate fused-scan compile would blow
+    # the budget; the fused rate runs ~0.9x of calls/s — 2.13 vs 2.31 in
+    # results/ada_tune_r4.jsonl — with the ~25 ms/step relay overhead
+    # note in CLAUDE.md).  Runs BEFORE the 1M-disc secondary so the
+    # adaptive trend always lands in BENCH_r*.json (the disc numbers have
+    # been flat since r03).
+    spent = time.perf_counter() - t_start
+    if budget - spent > 180:
+        try:
+            import numpy as np
+
+            from nbody_tpu.ops.pairwise import pairwise_acc_pallas_targets
+            from nbody_tpu.ops.traversal import (ADAPTIVE_OVERRIDES,
+                                                 BHConfig, bh_accel)
+            from nbody_tpu.scenes import plummer_sphere
+
+            n_ad = 1 << 20
+            pos, vel, mass = plummer_sphere(n_ad, scale=1.0, seed=0)
+            keep = np.all(np.abs(np.asarray(pos)) <= 20.0, axis=1)
+            pos, vel, mass = pos[keep], vel[keep], mass[keep]
+            state_ad = ParticleState.create(pos, vel, mass, capacity=n_ad,
+                                            dtype=jnp.float32)
+            params_ad = SimParams.create(dt=3e-2, g_soft=0.02, theta2=1.0,
+                                         bounds_width=40.0,
+                                         dtype=jnp.float32)
+            m_ad = state_ad.effective_mass()
+            cfg_ad = BHConfig.auto_for(n_ad, **ADAPTIVE_OVERRIDES)
+            fn_ad = jax.jit(lambda p, mm: bh_accel(
+                p, mm, params_ad.bounds, params_ad.theta2, params_ad.g,
+                params_ad.g_soft, cfg_ad)[0])
+            acc = fn_ad(state_ad.pos, m_ad)
+            float(acc[0, 0])  # compile + load outside timing
+            t0 = time.perf_counter()
+            for _ in range(3):
+                acc = fn_ad(state_ad.pos, m_ad)
+                float(acc[0, 0])
+            per = (time.perf_counter() - t0) / 3
+            result["adaptive_1m_plummer_force_calls_per_s"] = round(
+                1 / per, 3)
+            rng = np.random.default_rng(0)
+            samp = np.sort(rng.choice(len(pos), 4096, replace=False))
+            ref = np.asarray(pairwise_acc_pallas_targets(
+                state_ad.pos[samp], state_ad.pos, m_ad, params_ad.g,
+                params_ad.g_soft))
+            rn = np.linalg.norm(ref, axis=1)
+            err = np.linalg.norm(np.asarray(acc)[samp] - ref, axis=1) \
+                / np.maximum(rn, float(np.median(rn)))
+            result["adaptive_1m_plummer_p99_typ"] = round(
+                float(np.percentile(err, 99)), 4)
+        except Exception as e:  # never fail the primary metric
+            result["adaptive_1m_plummer_force_calls_per_s"] = (
+                f"error: {type(e).__name__}")
+    else:
+        result["adaptive_1m_plummer_force_calls_per_s"] = "skipped: budget"
+
+    # secondary C: the BASELINE.json north-star (Barnes-Hut steps/s at N=1M)
     spent = time.perf_counter() - t_start
     if spent > budget:
         result["bh_n1m_steps_per_s"] = (

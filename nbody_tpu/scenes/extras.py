@@ -47,3 +47,51 @@ def uniform_cube(n: int, *, width: float = 8.0, total_mass: float = 1.0, vel_sca
     vel = rng.normal(size=(n, 3)) * vel_scale
     mass = np.full(n, total_mass / n)
     return pos, vel, mass
+
+
+def hernquist_sphere(n: int, *, total_mass: float = 1.0, scale: float = 1.0,
+                     seed: int = 0):
+    """Hernquist (1990) profile: rho ~ 1/(r (r+a)^3).  Steeper central
+    cusp than Plummer (rho ~ 1/r as r -> 0 vs Plummer's flat core) —
+    the mid-contrast probe scene for the steep-core auto-detection
+    (VERDICT r4 #8).  Radius by inverse CDF of M(r) = M r^2/(r+a)^2:
+    r = a sqrt(u) / (1 - sqrt(u)).  Velocities: isotropic Gaussian at
+    the local circular-speed scale (an approximate equilibrium is fine —
+    detection operates on positions only)."""
+    rng = np.random.default_rng(seed)
+    m = np.full(n, total_mass / n)
+    su = np.sqrt(rng.random(n))
+    su = np.minimum(su, 0.999)  # bound the outermost radii
+    r = scale * su / (1.0 - su)
+    vec = rng.normal(size=(n, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    pos = r[:, None] * vec
+    vc = np.sqrt(total_mass * r) / (r + scale)
+    vdir = rng.normal(size=(n, 3))
+    vdir /= np.linalg.norm(vdir, axis=1, keepdims=True)
+    vel = (vc / np.sqrt(3.0))[:, None] * vdir
+    pos -= pos.mean(axis=0)
+    vel -= vel.mean(axis=0)
+    return pos, vel, m
+
+
+def disc_bulge(n: int, *, bulge_frac: float = 0.25, bulge_scale: float = 0.4,
+               seed: int = 0):
+    """Composite: the benchmark disc plus a central Plummer bulge holding
+    ``bulge_frac`` of the particles — the in-between scene family the
+    round-4 verdict flagged as unprobed by the steep-core detection cut
+    (disc contrast ~13-15, pure Plummer 54+; this sits wherever the bulge
+    puts it).  Uses the package's own disc and Plummer generators so the
+    composite tracks any future scene change."""
+    from nbody_tpu.scenes.disc import self_gravitating_disc
+
+    nb = int(n * bulge_frac)
+    nd = n - nb
+    dpos, dvel, dmass = self_gravitating_disc(nd, seed=seed)
+    bpos, bvel, bmass = plummer_sphere(
+        max(nb, 1), total_mass=float(np.sum(dmass)) * bulge_frac,
+        scale=bulge_scale, seed=seed + 1)
+    pos = np.concatenate([np.asarray(dpos), bpos[:nb]])
+    vel = np.concatenate([np.asarray(dvel), bvel[:nb]])
+    mass = np.concatenate([np.asarray(dmass), bmass[:nb]])
+    return pos, vel, mass
