@@ -279,6 +279,12 @@ class BHConfig:
     # (ops/group_force.py), "xla" = slab contraction, "auto" = pallas on
     # TPU f32, xla otherwise (CPU tests, f64)
     eval_tile: int = 2048  # pallas kernel source-tile width
+    delta_onepass: bool = False  # collect the window-coverage diff
+    # updates across ALL walk levels and apply them as ONE scatter-add
+    # pair (instead of 2 scatters x ~10 levels).  Exact same integers —
+    # scatter-add is associative — so this is a pure scheduling A/B
+    # (VERDICT r4 #2: the walk's delta/compaction machinery is ~44% of
+    # the adaptive force call); opt-in until measured on TPU.
     xla_p_block: int = -1  # XLA eval backend only: roll the pair block
     # over source-row blocks of this width (lax.scan accumulation) so the
     # [B, S] / [B, S, 3] intermediates never materialize beyond
@@ -1179,6 +1185,7 @@ def _group_collect(
     near_valid = jnp.zeros((cfg.near_cell_cap,), bool)
     # window-coverage diff array (+1 at covered range start, -1 past its end)
     delta = jnp.zeros((W + 1,), jnp.int32)
+    d_idx, d_val = [], []  # cfg.delta_onepass accumulators (static sizes)
 
     # density-adaptive descent below the leaf level (cfg.refine_levels > 0):
     # refined-near entries are explicit sorted RANGES (the refined tables
@@ -1212,8 +1219,13 @@ def _group_collect(
         # cells wholly inside the window: handled exactly by the window pass
         covered = occupied & (cs >= wstart) & (ce <= wend)
         inc = covered.astype(jnp.int32)
-        delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
-        delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
+        if cfg.delta_onepass:
+            d_idx += [jnp.where(covered, cs - wstart, W),
+                      jnp.where(covered, ce - wstart, W)]
+            d_val += [inc, -inc]
+        else:
+            delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
+            delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
 
         # exact distance from node COM to the union of subgroup boxes
         d = jnp.maximum(
@@ -1343,8 +1355,13 @@ def _group_collect(
 
         covered = occupied & (cs >= wstart) & (ce <= wend)
         inc = covered.astype(jnp.int32)
-        delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
-        delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
+        if cfg.delta_onepass:
+            d_idx += [jnp.where(covered, cs - wstart, W),
+                      jnp.where(covered, ce - wstart, W)]
+            d_val += [inc, -inc]
+        else:
+            delta = delta.at[jnp.where(covered, cs - wstart, W)].add(inc)
+            delta = delta.at[jnp.where(covered, ce - wstart, W)].add(-inc)
 
         d = jnp.maximum(
             jnp.abs(com[:, None, :] - gc[None, :, :]) - gh[None, :, :], 0.0
@@ -1452,6 +1469,8 @@ def _group_collect(
         far_ids = jnp.zeros((0,), jnp.int32)
         far_valid = jnp.zeros((0,), bool)
 
+    if cfg.delta_onepass:
+        delta = delta.at[jnp.concatenate(d_idx)].add(jnp.concatenate(d_val))
     wmask = jnp.cumsum(delta)[:W] > 0
 
     # overflow-fallback contribution (cold path, tiny [B, fb_cap] eval).
