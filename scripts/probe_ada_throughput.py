@@ -54,6 +54,9 @@ PROBES = {
     "fb512_rnp8k_fr2048": dict(fb_cap=512, refine_near_particle_cap=8192,
                                frontier_cap=2048, accept_cap=4096),
     "fb512_fr4096_a8k": dict(fb_cap=512, frontier_cap=4096),
+    # round 5: walk-scatter consolidation A/B (bitwise-identical forces,
+    # pure scheduling — see BHConfig.delta_onepass)
+    "onepass": dict(delta_onepass=True),
 }
 
 
