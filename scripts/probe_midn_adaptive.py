@@ -84,6 +84,41 @@ PROBES = {
                           "refine_frontier": 2048,
                           "refine_near_cell_cap": 8192,
                           "refine_near_particle_cap": 32768},
+    # frontier_fallback sits at 1365 across every tight row (first
+    # sweep): mid-walk parent-cap overflow degrades 1365 cells to
+    # self-excluded multipoles — raise the frontier to zero it
+    "tight_t256_fr16k": {**TIGHT, "refine_threshold": 256,
+                         "frontier_cap": 16384},
+    "tight_t256_rbig_fr16k": {**TIGHT, "refine_threshold": 256,
+                              "frontier_cap": 16384,
+                              "refine_frontier": 2048,
+                              "refine_near_cell_cap": 8192,
+                              "refine_near_particle_cap": 32768},
+    "tight_t128_rbig_fr16k": {**TIGHT, "refine_threshold": 128,
+                              "frontier_cap": 16384,
+                              "refine_frontier": 2048,
+                              "refine_near_cell_cap": 8192,
+                              "refine_near_particle_cap": 32768},
+    # ml5_r5_t1024_rbig landed 0.0342 (first in-envelope row) at 4.41
+    # calls/s vs 4.89 base — attribute the rbig components and claw the
+    # 10% back
+    "ml5_r5_t1024_rnp32": {**TIGHT, "max_level": 5, "refine_levels": 5,
+                           "refine_threshold": 1024,
+                           "refine_near_particle_cap": 32768},
+    "ml5_r5_t1024_rfr2k": {**TIGHT, "max_level": 5, "refine_levels": 5,
+                           "refine_threshold": 1024,
+                           "refine_frontier": 2048,
+                           "refine_near_cell_cap": 8192},
+    "ml5_r5_t512_rbig": {**TIGHT, "max_level": 5, "refine_levels": 5,
+                         "refine_threshold": 512, "refine_frontier": 2048,
+                         "refine_near_cell_cap": 8192,
+                         "refine_near_particle_cap": 32768},
+    "ml5_r5_t1024_rbig_nc1k": {**TIGHT, "max_level": 5, "refine_levels": 5,
+                               "refine_threshold": 1024,
+                               "refine_frontier": 2048,
+                               "refine_near_cell_cap": 8192,
+                               "refine_near_particle_cap": 32768,
+                               "near_particle_cap": 1024},
 }
 
 
