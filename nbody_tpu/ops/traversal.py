@@ -134,6 +134,25 @@ ADAPTIVE_CUT_MIN_N = 262145
 _ADAPTIVE_BIG_BUDGETS = dict(frontier_cap=8192, accept_cap=8192,
                              fb_cap=2048, refine_near_particle_cap=16384)
 
+#: the MID-N adaptive stack (round 5, VERDICT r4 #3; measured at 131k,
+#: results/midn_adaptive_r5.jsonl): below ADAPTIVE_CUT_MIN_N neither 1M
+#: regime stack reaches the envelope — tight+big-budgets bottomed at
+#: p99 0.0548-0.0702 with frontier_fallback pinned at 1365 (mid-walk
+#: parent-cap overflow is the floor there, NOT leaf resolution), and
+#: deep read 0.686 flat (sparse-ml7 structural deficit).  The fix is
+#: budget-shaped, not depth-shaped: the tight ml6+R4 grid with the
+#: refine threshold dropped to 128 and the walk caps opened (frontier/
+#: accept 16384, refined 2048/8192/32768) lands p99 0.0065 @ w40 and
+#: 0.0440 @ w10 with ZERO drops, at ~0.85x the (out-of-envelope)
+#: baseline rate — 4.02-4.17 force calls/s at 131k.  Replaces the old
+#: mid-N big-budget fallback for BOTH regimes (the frac rule picked
+#: 'deep' for wide boxes, but mid-N deep was measured broken).
+ADAPTIVE_MIDN_OVERRIDES = dict(
+    max_level=6, refine_levels=4, refine_threshold=128,
+    near_particle_cap=2048, frontier_cap=16384, accept_cap=16384,
+    near_cell_cap=4096, fb_cap=2048, refine_frontier=2048,
+    refine_near_cell_cap=8192, refine_near_particle_cap=32768)
+
 
 def scene_occupancy(pos, bounds_center, bounds_width, sample_cap=1 << 21):
     """Host-side (numpy) leaf-occupancy statistics of a scene — the cheap
@@ -221,11 +240,13 @@ def resolve_adaptive_overrides(pos, bounds_center, bounds_width,
     ml6+R4+t512) otherwise.  Both pass the 5e-2 envelope in their regime
     (plummer_1m.jsonl deep_* gate rows)."""
     occ = occupancy or scene_occupancy(pos, bounds_center, bounds_width)
-    deep = occ["frac_over128_l7"] >= DEEP_FRAC
-    ov = dict(ADAPTIVE_OVERRIDES if deep else ADAPTIVE_TIGHT_OVERRIDES)
     if occ["n_in"] < ADAPTIVE_CUT_MIN_N:
-        ov.update(_ADAPTIVE_BIG_BUDGETS)  # see ADAPTIVE_CUT_MIN_N
-    return ov
+        # mid-N: ONE measured stack for both regimes (see
+        # ADAPTIVE_MIDN_OVERRIDES — the 1M regime split does not
+        # transfer down-N)
+        return dict(ADAPTIVE_MIDN_OVERRIDES)
+    deep = occ["frac_over128_l7"] >= DEEP_FRAC
+    return dict(ADAPTIVE_OVERRIDES if deep else ADAPTIVE_TIGHT_OVERRIDES)
 
 
 def detect_scene_profile(pos, bounds_center, bounds_width, occupancy=None):
@@ -668,9 +689,8 @@ class BHConfig:
             # positions-free spelling defaults to the deep stack.  The
             # round-4 budget cuts apply only at the N they were measured
             # (see ADAPTIVE_CUT_MIN_N).
-            base.update(ADAPTIVE_OVERRIDES)
-            if n < ADAPTIVE_CUT_MIN_N:
-                base.update(_ADAPTIVE_BIG_BUDGETS)
+            base.update(ADAPTIVE_OVERRIDES if n >= ADAPTIVE_CUT_MIN_N
+                        else ADAPTIVE_MIDN_OVERRIDES)
         if profile == "accurate" and n > 32768:
             # restore ONLY the window pad: the drift-attribution split
             # (comp_drift_1m.jsonl caponly/wponly rows) shows the wp cut

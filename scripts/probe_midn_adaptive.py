@@ -119,6 +119,13 @@ PROBES = {
                                "refine_near_cell_cap": 8192,
                                "refine_near_particle_cap": 32768,
                                "near_particle_cap": 1024},
+    # the mid-N ship candidate: w40 p99 0.0065 / w10 0.0452, but w10
+    # shows 212 TRUE accept drops at accept 8192 — raise it
+    "midn_final": {**TIGHT, "refine_threshold": 128,
+                   "frontier_cap": 16384, "accept_cap": 16384,
+                   "refine_frontier": 2048,
+                   "refine_near_cell_cap": 8192,
+                   "refine_near_particle_cap": 32768},
 }
 
 

@@ -99,10 +99,11 @@ def main() -> int:
     # shipped for steep scenes.  Measured 2026-08-20 (v5e, this harness):
     # dense 23.0 steps/s / p99_typ 0.78 — the STATIC stack does not
     # resolve the 131k shoulder (same mechanism as its 1M 0.147; its row
-    # here is a regression pin, not an envelope claim); adaptive resolves
-    # the TIGHT stack (deep measured 0.686 flat across thresholds vs
-    # tight 0.055-0.070 — see DEEP_FRAC in ops/traversal.py) at ~8
-    # steps/s.  Floors ~0.5x, accuracy bounds ~2x measured.
+    # here is a regression pin, not an envelope claim).  Round 5: the
+    # resolver ships ADAPTIVE_MIDN_OVERRIDES below ADAPTIVE_CUT_MIN_N
+    # (midn_adaptive_r5.jsonl: p99 0.0065 @ w40 / 0.0440 @ w10 at
+    # 4.0-4.2 force calls/s) — the adaptive bound is the DISC ENVELOPE
+    # 5e-2 now (VERDICT r4 #3 'done' criterion), not a 2x-measured pin.
     from nbody_tpu.ops.pairwise import pairwise_acc_pallas_targets
     from nbody_tpu.ops.traversal import resolve_adaptive_overrides
     from nbody_tpu.scenes import plummer_sphere
@@ -127,7 +128,7 @@ def main() -> int:
             ("bh-adaptive@131k-plummer",
              dict(profile="adaptive",
                   **resolve_adaptive_overrides(pos, (0., 0., 0.), width)),
-             3.5, 0.15),
+             3.0, 5e-2),
     ):
         eng = get_engine("bh", **opts)
         acc = np.asarray(jax.jit(eng.force)(stp.pos, mp, pparams))[samp]

@@ -39,29 +39,40 @@ def test_contrast_separates_disc_from_plummer():
 
 
 def test_adaptive_regime_choice_matches_measured_rule():
-    """Deep stack only where the over-threshold level-7 cells hold most
-    of the mass (frac >= DEEP_FRAC = 0.5 — see the constant's measured
-    rationale: deep wins at 1M-w40/frac 0.72, loses 10x to tight at
-    131k-w40/frac 0.27 and at every tight-box width); everything else
-    gets the tight ml6+R4 stack."""
+    """At or above ADAPTIVE_CUT_MIN_N the 1M regime split applies: deep
+    stack only where the over-threshold level-7 cells hold most of the
+    mass (frac >= DEEP_FRAC = 0.5), tight otherwise.  BELOW the cut the
+    regime split does not transfer (round 5, VERDICT r4 #3: tight+big
+    bottomed at p99 0.055-0.070 and deep at 0.686 at 131k w40) — every
+    mid-N steep core gets the measured ADAPTIVE_MIDN_OVERRIDES stack
+    (p99 0.0065 @ w40 / 0.0440 @ w10, midn_adaptive_r5.jsonl)."""
+    from nbody_tpu.ops.traversal import (ADAPTIVE_CUT_MIN_N,
+                                         ADAPTIVE_MIDN_OVERRIDES)
+
     plum = plummer_sphere(70000, scale=1.0, seed=0)[0]
 
     def stack_of(ov):
         return {k: ov[k] for k in ("max_level", "refine_levels",
                                    "refine_threshold")}
 
-    # w160: level-7 cells 4x wider than w40 -> frac 0.84 -> deep
-    deep = resolve_adaptive_overrides(plum, CENTER, 160.0)
-    assert stack_of(deep) == stack_of(ADAPTIVE_OVERRIDES)
-    # w40 at 70k: frac 0.27 (the shoulder sits under the count
-    # threshold) -> tight, matching the 131k TPU measurement
-    assert stack_of(resolve_adaptive_overrides(plum, CENTER, 40.0)) == (
-        stack_of(ADAPTIVE_TIGHT_OVERRIDES))
-    assert stack_of(resolve_adaptive_overrides(plum, CENTER, 10.0)) == (
-        stack_of(ADAPTIVE_TIGHT_OVERRIDES))
-    # budget N-gate: below ADAPTIVE_CUT_MIN_N the round-4 1M budget cuts
-    # are rolled back (131k measured p99 0.59 cut vs 0.078 uncut)
-    assert deep["fb_cap"] == 2048 and deep["frontier_cap"] == 8192
+    # 70k < ADAPTIVE_CUT_MIN_N: the mid-N stack at EVERY width —
+    # including w160 where the old frac rule picked the (mid-N-broken)
+    # deep stack
+    for width in (160.0, 40.0, 10.0):
+        ov = resolve_adaptive_overrides(plum, CENTER, width)
+        assert stack_of(ov) == stack_of(ADAPTIVE_MIDN_OVERRIDES), width
+        assert ov["frontier_cap"] == 16384  # the mid-N floor fix
+    # above the cut the 1M regime split still applies: same scene scaled
+    # up by repetition is overkill here — pin via the occupancy override
+    occ_deep = dict(n_in=ADAPTIVE_CUT_MIN_N + 1, frac_over128_l7=0.72,
+                    contrast=500.0)
+    occ_tight = dict(occ_deep, frac_over128_l7=0.01)
+    assert stack_of(resolve_adaptive_overrides(
+        plum, CENTER, 40.0, occupancy=occ_deep)) == stack_of(
+            ADAPTIVE_OVERRIDES)
+    assert stack_of(resolve_adaptive_overrides(
+        plum, CENTER, 40.0, occupancy=occ_tight)) == stack_of(
+            ADAPTIVE_TIGHT_OVERRIDES)
 
 
 def test_occupancy_handles_empty_and_offcenter():
