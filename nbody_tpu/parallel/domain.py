@@ -186,9 +186,12 @@ def _build_refined_domain(rows_s, deep_s, leaf_starts, max_level: int,
         lo = jnp.where(child_valid, child_codes << shift, 0)
         hi = jnp.where(child_valid, (child_codes + 1) << shift, 0)
         # local searchsorted is valid exactly for the ranges I own (my
-        # slice is fully deep-sorted after the post-route re-sort)
-        ls = jnp.searchsorted(deep_s, lo, side="left").astype(jnp.int32)
-        le = jnp.searchsorted(deep_s, hi, side="left").astype(jnp.int32)
+        # slice is fully deep-sorted after the post-route re-sort).
+        # Fused lo||hi sort-method search: 2.5x the TPU default scan
+        # (see ops/tree.py _build_refined)
+        r_ = jnp.searchsorted(deep_s, jnp.concatenate([lo, hi]),
+                              side="left", method="sort").astype(jnp.int32)
+        ls, le = r_[:rows_per], r_[rows_per:]
         cs = jax.lax.psum(jnp.where(mine, ls + my_start, 0), axis)
         ce = jax.lax.psum(jnp.where(mine, le + my_start, 0), axis)
         sums_l = _range_sums_from_table(

@@ -57,6 +57,10 @@ PROBES = {
     # round 5: walk-scatter consolidation A/B (bitwise-identical forces,
     # pure scheduling — see BHConfig.delta_onepass)
     "onepass": dict(delta_onepass=True),
+    "base_r5": {},  # fresh baseline, back-to-back with onepass (A/B pairs
+    # must share a session: remote-compile latency drifts across hours)
+    "base_sssort": {},  # code-level A/B: fused sort-method searchsorted in
+    # the refined build (ops/tree.py) vs base_r5's 430.6 ms scan rows
 }
 
 

@@ -33,6 +33,12 @@ TRACE_DIR = f"/tmp/jaxtrace_ada_{_LOG2N}_{int(WIDTH)}"
 
 
 def main():
+    # stale traces from earlier sessions in the same dir get aggregated
+    # alongside the fresh run (round-5 bug: the round-4 xplane shadowed
+    # the current one) — start clean
+    import shutil
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
     pos, vel, mass = plummer_sphere(N, scale=1.0, seed=0)
     keep = np.all(np.abs(np.asarray(pos)) <= WIDTH / 2, axis=1)
     pos, vel, mass = pos[keep], vel[keep], mass[keep]
