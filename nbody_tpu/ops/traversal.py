@@ -99,7 +99,10 @@ ADAPTIVE_OVERRIDES = dict(
     max_level=7, refine_levels=3, refine_threshold=128,
     near_particle_cap=2048, frontier_cap=2048, accept_cap=4096,
     near_cell_cap=4096, fb_cap=512, refine_frontier=1024,
-    refine_near_cell_cap=4096, refine_near_particle_cap=8192)
+    refine_near_cell_cap=2048, refine_near_particle_cap=4096)
+# round-5 rnp 8192->4096 / rnc 4096->2048 (ada_tune_r4.jsonl rnp4k_rnc2k):
+# -21% pair-kernel slab width for p99 0.0248 -> 0.0268 (envelope 5e-2),
+# 2.57 -> 2.67 force calls/s on top of the sort-method searchsorted win
 
 # the TIGHT-BOX adaptive stack (measured deep_l6r4 rows, VALIDATION.md §19):
 # when the domain box is narrow relative to the core, the depth-7 grid's

@@ -61,6 +61,16 @@ PROBES = {
     # must share a session: remote-compile latency drifts across hours)
     "base_sssort": {},  # code-level A/B: fused sort-method searchsorted in
     # the refined build (ops/tree.py) vs base_r5's 430.6 ms scan rows
+    # round 5: smaller eval tiles strand less of the 38% slab padding in
+    # part-filled tiles (the pl.when whole-tile skip gets more purchase);
+    # the round-3 et cuts lost at the DENSE stack but that slab was full
+    "et1024": dict(eval_tile=1024),
+    "et512": dict(eval_tile=512),
+    # round 5: refined-near cap cut — ~21% of the pair-kernel slab width;
+    # p99 headroom exists (0.0248 vs the 5e-2 envelope)
+    "rnp4k": dict(refine_near_particle_cap=4096),
+    "rnp4k_rnc2k": dict(refine_near_particle_cap=4096,
+                        refine_near_cell_cap=2048),
 }
 
 
