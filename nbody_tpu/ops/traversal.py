@@ -125,7 +125,9 @@ ADAPTIVE_TIGHT_OVERRIDES = dict(
     max_level=6, refine_levels=4, refine_threshold=512,
     near_particle_cap=2048, frontier_cap=4096, accept_cap=8192,
     near_cell_cap=4096, fb_cap=512, refine_frontier=1024,
-    refine_near_cell_cap=4096, refine_near_particle_cap=16384)
+    refine_near_cell_cap=2048, refine_near_particle_cap=8192)
+# round-5 rnp 16384->8192 / rnc 4096->2048 (tight_w10_rnp8k_rnc2k row):
+# +4% calls/s at 1M w10 with p99 FLAT to 4 digits (0.0401 -> 0.0402)
 
 #: the round-4 budget cuts were measured at 1M and DO NOT transfer
 #: down-N: at 131k w40 the cut tight stack read sampled p99_typ 0.59 vs

@@ -29,7 +29,7 @@ from nbody_tpu.ops.traversal import (ADAPTIVE_OVERRIDES,
                                      bh_accel)
 from nbody_tpu.scenes import plummer_sphere
 
-N = 1 << 20
+N = 1 << int(os.environ.get("ADA_LOG2N", "20"))
 WIDTH = float(os.environ.get("ADA_WIDTH", "40.0"))
 STACK = os.environ.get("ADA_STACK", "deep")  # 'deep' | 'tight'
 OUT = os.path.join(os.path.dirname(os.path.dirname(
@@ -71,6 +71,9 @@ PROBES = {
     "rnp4k": dict(refine_near_particle_cap=4096),
     "rnp4k_rnc2k": dict(refine_near_particle_cap=4096,
                         refine_near_cell_cap=2048),
+    # tight-regime rnp cut (w10 gate is the close one: p99 0.0401 base)
+    "rnp8k_rnc2k": dict(refine_near_particle_cap=8192,
+                        refine_near_cell_cap=2048),
 }
 
 
@@ -84,8 +87,9 @@ def main():
                 pass
     names = sys.argv[1:] or list(PROBES)
     def rname(n):
-        return (n if (WIDTH == 40.0 and STACK == "deep")
-                else f"{STACK}_w{int(WIDTH)}_{n}")
+        tag = (n if (WIDTH == 40.0 and STACK == "deep")
+               else f"{STACK}_w{int(WIDTH)}_{n}")
+        return tag if N == 1 << 20 else f"n{N >> 10}k_{tag}"
     todo = [n for n in names if rname(n) not in done]
     if not todo:
         print("all probes recorded")
@@ -125,8 +129,7 @@ def main():
         per = (time.perf_counter() - t0) / 3
         a = np.asarray(acc)[samp]
         err = np.linalg.norm(a - ref, axis=1) / np.maximum(rn, typ)
-        rec_name = (name if (WIDTH == 40.0 and STACK == "deep")
-                    else f"{STACK}_w{int(WIDTH)}_{name}")
+        rec_name = rname(name)
         rec = {
             "name": rec_name, "n": N, "width": WIDTH, "stack": STACK,
             "force_ms": round(per * 1e3, 1),
